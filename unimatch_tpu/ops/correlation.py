@@ -1,0 +1,289 @@
+"""Correlation / cost-volume matching ops with softmax-argmax readout (NHWC).
+
+Functional parity targets in the reference (semantics, not code):
+  global_correlation_softmax            unimatch/matching.py:7-36
+  local_correlation_softmax             unimatch/matching.py:39-83
+  local_correlation_with_flow           unimatch/matching.py:86-123
+  global_correlation_softmax_stereo     unimatch/matching.py:126-151
+  local_correlation_softmax_stereo      unimatch/matching.py:154-200
+  correlation_softmax_depth             unimatch/matching.py:203-236
+  warp_with_pose_depth_candidates       unimatch/matching.py:239-282
+
+TPU-first design choices:
+  * Local (windowed) correlation at *integer* offsets is a stack of static
+    shifted reads (zero gathers) — a bilinear sample at integer coordinates
+    reduces to a shift, so we never call grid_sample for it. The softmax
+    expectation also simplifies: E[coords] - coords = E[offsets].
+  * Global correlation is a batched [HW, C] x [C, HW] matmul on the MXU.
+    This module holds the jnp reference implementation; a fused Pallas
+    blockwise (flash-style) softmax-expectation kernel that never
+    materializes the [HW, HW] volume in HBM lives in
+    unimatch_tpu.kernels.corr_kernels and is dispatched when profitable.
+  * Softmax always in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unimatch_tpu.ops import geometry as G
+from unimatch_tpu.ops.upsample import extract_patches
+
+
+def _window_offsets(radius_y: int, radius_x: int) -> np.ndarray:
+    """[(2ry+1)*(2rx+1), 2] integer (x, y) offsets, kernel row-major order."""
+    dy, dx = np.meshgrid(
+        np.arange(-radius_y, radius_y + 1), np.arange(-radius_x, radius_x + 1), indexing="ij"
+    )
+    return np.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def global_correlation_softmax(
+    feature0: jnp.ndarray, feature1: jnp.ndarray, pred_bidir_flow: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global 2D matching. features: [B, H, W, C] -> flow [B(,2B), H, W, 2].
+
+    Reference matching.py:7-36. Bidirectional flow reuses the same correlation
+    transposed, stacking fwd/bwd on the batch axis.
+    """
+    b, h, w, c = feature0.shape
+    f0 = feature0.reshape(b, h * w, c)
+    f1 = feature1.reshape(b, h * w, c)
+    corr = jnp.einsum("blc,bmc->blm", f0, f1, preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.float32(c))  # [B, HW, HW]
+
+    grid = G.coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
+
+    if pred_bidir_flow:
+        corr = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)  # [2B, HW, HW]
+        b = 2 * b
+
+    prob = jax.nn.softmax(corr, axis=-1)  # fp32 [B, HW, HW]
+    correspondence = jnp.einsum("blm,mx->blx", prob, grid)  # [B, HW, 2]
+    flow = correspondence.reshape(b, h, w, 2) - grid.reshape(h, w, 2)[None]
+    return flow.astype(feature0.dtype), prob
+
+
+def local_correlation_softmax(
+    feature0: jnp.ndarray, feature1: jnp.ndarray, local_radius: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed matching at integer offsets — static shifted reads, no gather.
+
+    features: [B, H, W, C] -> flow [B, H, W, 2], prob [B, H, W, (2R+1)^2].
+    Reference matching.py:39-83 (which uses grid_sample; integer offsets make
+    that equivalent to zero-padded shifts).
+    """
+    b, h, w, c = feature0.shape
+    r = local_radius
+    k = 2 * r + 1
+
+    patches = extract_patches(feature1, k, r)  # [B, H, W, k*k, C] zero-padded
+    corr = jnp.einsum(
+        "bhwnc,bhwc->bhwn", patches, feature0, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))
+
+    offsets = _window_offsets(r, r)  # [(k*k), 2] (x, y)
+    # validity of sample position (pixel + offset) inside the image
+    grid = G.coords_grid(h, w)  # [H, W, 2]
+    sample = grid[:, :, None, :] + offsets[None, None]  # [H, W, k*k, 2]
+    valid = (
+        (sample[..., 0] >= 0) & (sample[..., 0] < w) & (sample[..., 1] >= 0) & (sample[..., 1] < h)
+    )
+    corr = jnp.where(valid[None], corr, -1e9)
+
+    prob = jax.nn.softmax(corr, axis=-1)  # fp32
+    # E[coords] - coords = E[offsets]
+    flow = jnp.einsum("bhwn,nx->bhwx", prob, jnp.asarray(offsets))
+    return flow.astype(feature0.dtype), prob
+
+
+def local_correlation_with_flow(
+    feature0: jnp.ndarray,
+    feature1: jnp.ndarray,
+    flow: jnp.ndarray,
+    local_radius: int,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Flow-shifted window correlation for refinement.
+
+    features: [B, H, W, C], flow [B, H, W, 2] -> corr [B, H, W, (2R+1)^2].
+    Reference matching.py:86-123.
+
+    Since window offsets are integer, bilinear sampling at (p + flow + n)
+    shares one set of 4 bilinear weights across all offsets n. We gather the
+    four integer-corner patch stacks and blend — 4 gathers total instead of
+    4*(2R+1)^2.
+    """
+    b, h, w, c = feature0.shape
+    r = local_radius
+    k = 2 * r + 1
+
+    grid = G.batched_coords_grid(b, h, w, dtype=jnp.float32)  # [B, H, W, 2]
+    base = grid + flow.astype(jnp.float32)  # [B, H, W, 2] real-valued
+
+    x = base[..., 0]
+    y = base[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+
+    offsets = jnp.asarray(_window_offsets(r, r) * float(dilation))  # [k*k, 2]
+
+    def corr_at(iy, ix):
+        """Correlation of feature0 with feature1 gathered at integer coords (iy,ix)+offsets."""
+        # gather the k*k window around each integer base: one gather of k*k*C per pixel
+        iyc = iy[..., None] + offsets[None, None, None, :, 1]  # [B,H,W,k*k]
+        ixc = ix[..., None] + offsets[None, None, None, :, 0]
+        valid = (ixc >= 0) & (ixc <= w - 1) & (iyc >= 0) & (iyc <= h - 1)
+        iyg = jnp.clip(iyc, 0, h - 1).astype(jnp.int32)
+        ixg = jnp.clip(ixc, 0, w - 1).astype(jnp.int32)
+        flat = feature1.reshape(b, h * w, c)
+        idx = (iyg * w + ixg).reshape(b, -1)  # [B, H*W*k*k]
+        g = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(b, h, w, k * k, c)
+        g = g * valid[..., None].astype(g.dtype)
+        return jnp.einsum("bhwnc,bhwc->bhwn", g, feature0, preferred_element_type=jnp.float32)
+
+    c00 = corr_at(y0, x0)
+    c01 = corr_at(y0, x0 + 1.0)
+    c10 = corr_at(y0 + 1.0, x0)
+    c11 = corr_at(y0 + 1.0, x0 + 1.0)
+
+    wx1 = wx1[..., None]
+    wy1 = wy1[..., None]
+    corr = (
+        c00 * (1 - wy1) * (1 - wx1)
+        + c01 * (1 - wy1) * wx1
+        + c10 * wy1 * (1 - wx1)
+        + c11 * wy1 * wx1
+    )
+    corr = corr / jnp.sqrt(jnp.float32(c))
+    return corr.astype(feature0.dtype)  # [B, H, W, (2R+1)^2]
+
+
+def global_correlation_softmax_stereo(
+    feature0: jnp.ndarray, feature1: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-scanline global matching with positive-disparity (lower-tri) mask.
+
+    features: [B, H, W, C] -> disparity [B, H, W, 1], prob [B, H, W, W].
+    Reference matching.py:126-151.
+    """
+    b, h, w, c = feature0.shape
+    corr = jnp.einsum(
+        "bhic,bhjc->bhij", feature0, feature1, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))  # [B, H, W, W]
+
+    # disparity >= 0: target column j must be <= source column i
+    j = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    corr = jnp.where((j <= i)[None, None], corr, -1e9)
+
+    prob = jax.nn.softmax(corr, axis=-1)  # [B, H, W, W] fp32
+    x_grid = jnp.arange(w, dtype=jnp.float32)
+    correspondence = jnp.einsum("bhij,j->bhi", prob, x_grid)  # [B, H, W]
+    disparity = x_grid[None, None, :] - correspondence
+    return disparity.astype(feature0.dtype)[..., None], prob
+
+
+def local_correlation_softmax_stereo(
+    feature0: jnp.ndarray, feature1: jnp.ndarray, local_radius: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1D windowed stereo matching (1 x (2R+1) window), static shifts.
+
+    features: [B, H, W, C] -> disparity [B, H, W, 1], prob [B, H, W, 2R+1].
+    Reference matching.py:154-200.
+    """
+    b, h, w, c = feature0.shape
+    r = local_radius
+    k = 2 * r + 1
+
+    # horizontal-only patches: pad W by r, stack shifted slices
+    f1p = jnp.pad(feature1, ((0, 0), (0, 0), (r, r), (0, 0)))
+    patches = jnp.stack([f1p[:, :, j : j + w, :] for j in range(k)], axis=3)  # [B,H,W,k,C]
+    corr = jnp.einsum(
+        "bhwnc,bhwc->bhwn", patches, feature0, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))
+
+    offs_x = jnp.arange(-r, r + 1, dtype=jnp.float32)  # [k]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    sample_x = xs[None, :, None] + offs_x[None, None, :]  # [1, W, k]
+    valid = (sample_x >= 0) & (sample_x < w)
+    corr = jnp.where(valid[None], corr, -1e9)
+
+    prob = jax.nn.softmax(corr, axis=-1)
+    # flow_x = E[offset_x]; disparity = -flow_x
+    flow_x = jnp.einsum("bhwn,n->bhw", prob, offs_x)
+    return (-flow_x).astype(feature0.dtype)[..., None], prob
+
+
+def warp_with_pose_depth_candidates(
+    feature1: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    pose: jnp.ndarray,
+    depth: jnp.ndarray,
+    clamp_min_depth: float = 1e-3,
+) -> jnp.ndarray:
+    """Plane-sweep warp: sample feature1 at D depth hypotheses.
+
+    feature1: [B, H, W, C], intrinsics [B, 3, 3], pose [B, 4, 4] (ref->tgt),
+    depth [B, D, H, W] (metric depth) -> warped [B, D, H, W, C].
+    Reference matching.py:239-282.
+    """
+    b, d, h, w = depth.shape
+    grid = G.batched_coords_grid(b, h, w, homogeneous=True)  # [B, H, W, 3]
+    k_inv = jnp.linalg.inv(intrinsics)
+    rays = jnp.einsum("bij,bhwj->bhwi", k_inv, grid, precision="highest")  # [B, H, W, 3]
+    rot_rays = jnp.einsum("bij,bhwj->bhwi", pose[:, :3, :3], rays, precision="highest")  # [B, H, W, 3]
+    points = rot_rays[:, None] * depth[..., None] + pose[:, None, None, None, :3, 3]  # [B,D,H,W,3]
+    proj = jnp.einsum("bij,bdhwj->bdhwi", intrinsics, points, precision="highest")
+    zc = jnp.maximum(proj[..., 2], clamp_min_depth)
+    pixel = jnp.stack([proj[..., 0] / zc, proj[..., 1] / zc], axis=-1)  # [B, D, H, W, 2]
+    warped = G.grid_sample(feature1, pixel, padding_mode="zeros")  # [B, D, H, W, C]
+    return warped
+
+
+def correlation_softmax_depth(
+    feature0: jnp.ndarray,
+    feature1: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    pose: jnp.ndarray,
+    depth_candidates: jnp.ndarray,
+    depth_from_argmax: bool = False,
+    pred_bidir_depth: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plane-sweep matching over inverse-depth candidates.
+
+    features: [B, H, W, C]; depth_candidates [B, D, H, W] (*inverse* depth).
+    Returns (depth [B, H, W, 1] in inverse-depth space, prob [B, D, H, W]).
+    Reference matching.py:203-236.
+    """
+    b, h, w, c = feature0.shape
+    if pred_bidir_depth:
+        feature0, feature1 = (
+            jnp.concatenate([feature0, feature1], axis=0),
+            jnp.concatenate([feature1, feature0], axis=0),
+        )
+        intrinsics = jnp.concatenate([intrinsics, intrinsics], axis=0)
+        pose = jnp.concatenate([pose, jnp.linalg.inv(pose)], axis=0)
+        depth_candidates = jnp.concatenate([depth_candidates, depth_candidates], axis=0)
+
+    warped = warp_with_pose_depth_candidates(
+        feature1, intrinsics, pose, 1.0 / depth_candidates
+    )  # [B, D, H, W, C]
+    corr = jnp.einsum(
+        "bdhwc,bhwc->bdhw", warped, feature0, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))
+
+    prob = jax.nn.softmax(corr, axis=1)  # over D, fp32
+
+    if depth_from_argmax:
+        idx = jnp.argmax(prob, axis=1, keepdims=True)  # [B, 1, H, W]
+        depth = jnp.take_along_axis(depth_candidates, idx, axis=1)[:, 0]
+    else:
+        depth = jnp.sum(prob * depth_candidates, axis=1)  # [B, H, W]
+    return depth.astype(feature0.dtype)[..., None], prob

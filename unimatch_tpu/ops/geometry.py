@@ -1,0 +1,271 @@
+"""Numeric geometry primitives (NHWC / channels-last, TPU layout).
+
+Functional parity targets (semantics, not code) in the reference:
+  coords_grid / generate_window_grid / normalize_coords  unimatch/geometry.py:5-38
+  bilinear_sample / flow_warp                            unimatch/geometry.py:41-72
+  forward_backward_consistency_check                     unimatch/geometry.py:75-96
+  back_project / camera_transform / reproject            unimatch/geometry.py:99-172
+  compute_flow_with_depth_pose                           unimatch/geometry.py:175-195
+
+Conventions (all differ from the torch reference deliberately):
+  * Arrays are channels-last: features [B, H, W, C], flow [B, H, W, 2].
+  * Coordinates are (x, y) in the last axis, pixel units, like the reference.
+  * `grid_sample` semantics are PyTorch align_corners=True with 'zeros'
+    padding: every bilinear tap that falls outside the image contributes 0
+    (each corner masked individually, weights NOT renormalized).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def coords_grid(h: int, w: int, homogeneous: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """Pixel coordinate grid, shape [H, W, 2] (or 3 if homogeneous), (x, y[, 1]) order."""
+    y = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    x = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    comps = [x, y]
+    if homogeneous:
+        comps.append(jnp.ones((h, w), dtype))
+    return jnp.stack(comps, axis=-1)
+
+
+def batched_coords_grid(b: int, h: int, w: int, homogeneous: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, H, W, 2] coordinate grid."""
+    g = coords_grid(h, w, homogeneous=homogeneous, dtype=dtype)
+    return jnp.broadcast_to(g[None], (b,) + g.shape)
+
+
+def generate_window_grid(
+    h_min: float, h_max: float, w_min: float, w_max: float, len_h: int, len_w: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """[len_h, len_w, 2] grid of (x, y) offsets spanning the given ranges."""
+    xs = jnp.linspace(w_min, w_max, len_w, dtype=dtype)
+    ys = jnp.linspace(h_min, h_max, len_h, dtype=dtype)
+    x, y = jnp.meshgrid(xs, ys, indexing="xy")
+    return jnp.stack([x, y], axis=-1)
+
+
+def normalize_coords(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Pixel coords -> [-1, 1] (align_corners=True convention). coords[..., 0]=x, [..., 1]=y."""
+    c = jnp.asarray([(w - 1) / 2.0, (h - 1) / 2.0], dtype=coords.dtype)
+    return (coords - c) / c
+
+
+def grid_sample(
+    img: jnp.ndarray,
+    coords: jnp.ndarray,
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinear sampling of `img` [B, H, W, C] at pixel coords [B, ..., 2] (x, y).
+
+    Matches torch.nn.functional.grid_sample(mode='bilinear',
+    padding_mode='zeros'|'border', align_corners=True) after the coordinates
+    have been un-normalized to pixel units: for zeros padding, each of the
+    four bilinear taps is masked to zero individually when outside the image.
+
+    Returns samples of shape [B, ..., C].
+    """
+    assert align_corners, "only align_corners=True is used in this framework"
+    b, h, w, c = img.shape
+    lead = coords.shape[1:-1]
+    coords = coords.reshape(b, -1, 2)
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = x - x0  # weight for x1
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def gather(iy, ix):
+        # clip for safe gather; validity handled by masks
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        flat = img.reshape(b, h * w, c)
+        idx = iyc * w + ixc  # [B, N]
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+
+    if padding_mode == "zeros":
+        def valid(iy, ix):
+            return ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)).astype(img.dtype)
+
+        m00 = valid(y0, x0)
+        m01 = valid(y0, x1)
+        m10 = valid(y1, x0)
+        m11 = valid(y1, x1)
+    elif padding_mode == "border":
+        ones = jnp.ones(x.shape, img.dtype)
+        m00 = m01 = m10 = m11 = ones
+    else:
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+
+    w00 = (wy0 * wx0).astype(img.dtype) * m00
+    w01 = (wy0 * wx1).astype(img.dtype) * m01
+    w10 = (wy1 * wx0).astype(img.dtype) * m10
+    w11 = (wy1 * wx1).astype(img.dtype) * m11
+
+    out = (
+        gather(y0, x0) * w00[..., None]
+        + gather(y0, x1) * w01[..., None]
+        + gather(y1, x0) * w10[..., None]
+        + gather(y1, x1) * w11[..., None]
+    )
+    return out.reshape((b,) + lead + (c,))
+
+
+def bilinear_sample(
+    img: jnp.ndarray,
+    sample_coords: jnp.ndarray,
+    padding_mode: str = "zeros",
+    return_mask: bool = False,
+):
+    """Sample img [B, H, W, C] at pixel-scale coords [B, H', W', 2] (x, y).
+
+    Reference semantics: geometry.py:41-62 (normalizes by the *coords* grid's
+    own H', W' — which always equals the image size at the call sites).
+    """
+    b, hc, wc, _ = sample_coords.shape
+    out = grid_sample(img, sample_coords, padding_mode=padding_mode)
+    if return_mask:
+        x, y = sample_coords[..., 0], sample_coords[..., 1]
+        # mask in normalized space of the coords grid (matches reference)
+        xg = 2 * x / (wc - 1) - 1
+        yg = 2 * y / (hc - 1) - 1
+        mask = (xg >= -1) & (xg <= 1) & (yg >= -1) & (yg <= 1)
+        return out, mask
+    return out
+
+
+def flow_warp(
+    feature: jnp.ndarray, flow: jnp.ndarray, mask: bool = False, padding_mode: str = "zeros"
+):
+    """Warp feature [B, H, W, C] by flow [B, H, W, 2]. Reference geometry.py:65-72."""
+    b, h, w, _ = feature.shape
+    grid = batched_coords_grid(b, h, w, dtype=flow.dtype) + flow
+    return bilinear_sample(feature, grid, padding_mode=padding_mode, return_mask=mask)
+
+
+def forward_backward_consistency_check(
+    fwd_flow: jnp.ndarray, bwd_flow: jnp.ndarray, alpha: float = 0.01, beta: float = 0.5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """UnFlow-style occlusion estimation. flows: [B, H, W, 2]. Returns float masks [B, H, W].
+
+    Reference geometry.py:75-96.
+    """
+    flow_mag = jnp.linalg.norm(fwd_flow, axis=-1) + jnp.linalg.norm(bwd_flow, axis=-1)
+    warped_bwd = flow_warp(bwd_flow, fwd_flow)
+    warped_fwd = flow_warp(fwd_flow, bwd_flow)
+    diff_fwd = jnp.linalg.norm(fwd_flow + warped_bwd, axis=-1)
+    diff_bwd = jnp.linalg.norm(bwd_flow + warped_fwd, axis=-1)
+    threshold = alpha * flow_mag + beta
+    fwd_occ = (diff_fwd > threshold).astype(jnp.float32)
+    bwd_occ = (diff_bwd > threshold).astype(jnp.float32)
+    return fwd_occ, bwd_occ
+
+
+def back_project(depth: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
+    """2D pixels -> 3D camera points. depth [B, H, W], intrinsics [B, 3, 3] -> [B, H, W, 3].
+
+    Reference geometry.py:99-110.
+    """
+    b, h, w = depth.shape
+    grid = batched_coords_grid(b, h, w, homogeneous=True, dtype=depth.dtype)  # [B,H,W,3]
+    k_inv = jnp.linalg.inv(intrinsics)  # [B,3,3]
+    points = jnp.einsum("bij,bhwj->bhwi", k_inv, grid, precision="highest") * depth[..., None]
+    return points
+
+
+def camera_transform(
+    points_ref: jnp.ndarray,
+    extrinsics_ref: Optional[jnp.ndarray] = None,
+    extrinsics_tgt: Optional[jnp.ndarray] = None,
+    extrinsics_rel: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Transform 3D points [B, H, W, 3] from ref to tgt camera. Reference geometry.py:113-129."""
+    if extrinsics_rel is None:
+        extrinsics_rel = jnp.einsum("bij,bjk->bik", extrinsics_tgt, jnp.linalg.inv(extrinsics_ref))
+    rot = extrinsics_rel[:, :3, :3]
+    t = extrinsics_rel[:, :3, 3]
+    return jnp.einsum("bij,bhwj->bhwi", rot, points_ref, precision="highest") + t[:, None, None, :]
+
+
+def reproject(points_tgt: jnp.ndarray, intrinsics: jnp.ndarray, return_mask: bool = False):
+    """Project 3D points [B, H, W, 3] to pixel coords [B, H, W, 2]. Reference geometry.py:132-154."""
+    b, h, w, _ = points_tgt.shape
+    proj = jnp.einsum("bij,bhwj->bhwi", intrinsics, points_tgt, precision="highest")
+    zc = jnp.maximum(proj[..., 2], 1e-3)
+    pixel = jnp.stack([proj[..., 0] / zc, proj[..., 1] / zc], axis=-1)
+    if return_mask:
+        mask = (
+            (pixel[..., 0] >= 0)
+            & (pixel[..., 0] <= (w - 1))
+            & (pixel[..., 1] >= 0)
+            & (pixel[..., 1] <= (h - 1))
+        )
+        return pixel, mask
+    return pixel
+
+
+def reproject_coords(
+    depth_ref: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    extrinsics_ref: Optional[jnp.ndarray] = None,
+    extrinsics_tgt: Optional[jnp.ndarray] = None,
+    extrinsics_rel: Optional[jnp.ndarray] = None,
+    return_mask: bool = False,
+):
+    """Reference geometry.py:157-172."""
+    points_ref = back_project(depth_ref, intrinsics)
+    points_tgt = camera_transform(points_ref, extrinsics_ref, extrinsics_tgt, extrinsics_rel)
+    return reproject(points_tgt, intrinsics, return_mask=return_mask)
+
+
+def compute_flow_with_depth_pose(
+    depth_ref: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    extrinsics_ref: Optional[jnp.ndarray] = None,
+    extrinsics_tgt: Optional[jnp.ndarray] = None,
+    extrinsics_rel: Optional[jnp.ndarray] = None,
+    return_mask: bool = False,
+):
+    """Rigid flow [B, H, W, 2] induced by depth + relative pose. Reference geometry.py:175-195."""
+    b, h, w = depth_ref.shape
+    coords_init = batched_coords_grid(b, h, w, dtype=depth_ref.dtype)
+    if return_mask:
+        reproj, mask = reproject_coords(
+            depth_ref, intrinsics, extrinsics_ref, extrinsics_tgt, extrinsics_rel, return_mask=True
+        )
+        return reproj - coords_init, mask
+    reproj = reproject_coords(
+        depth_ref, intrinsics, extrinsics_ref, extrinsics_tgt, extrinsics_rel, return_mask=False
+    )
+    return reproj - coords_init
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """Bilinear resize of [B, H, W, C] with PyTorch align_corners=True semantics.
+
+    (jax.image.resize has no align_corners mode; F.interpolate(align_corners=True)
+    samples source coords i*(H-1)/(H'-1).) Used for flow up/downsampling
+    (reference unimatch.py:85-86, :154).
+    """
+    b, h, w, c = x.shape
+    if h == new_h and w == new_w:
+        return x
+    ys = jnp.linspace(0.0, h - 1.0, new_h, dtype=jnp.float32)
+    xs = jnp.linspace(0.0, w - 1.0, new_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    coords = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1)[None], (b, new_h, new_w, 2))
+    # all coords are in-bounds, padding mode irrelevant
+    return grid_sample(x, coords, padding_mode="border")

@@ -1,0 +1,54 @@
+"""Neighborhood extraction and RAFT-style convex upsampling (NHWC).
+
+Reference semantics: torch F.unfold call sites (unimatch/utils.py:144,
+attention.py:234-244) and `upsample_flow_with_mask` (utils.py:134-152).
+
+TPU-first design: F.unfold becomes a stack of static shifted slices — XLA
+fuses these into cheap windowed reads; no gather is involved.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def extract_patches(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:
+    """Extract kernel_size×kernel_size zero-padded patches.
+
+    x: [B, H, W, C] -> [B, H, W, k*k, C], patch index in kernel row-major order
+    ((dy, dx) from (-p, -p)), matching torch F.unfold's enumeration.
+    """
+    b, h, w, c = x.shape
+    k, p = kernel_size, padding
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    slices = [
+        xp[:, i : i + h, j : j + w, :]
+        for i in range(k)
+        for j in range(k)
+    ]
+    return jnp.stack(slices, axis=3)  # [B, H, W, k*k, C]
+
+
+def upsample_with_mask(
+    flow: jnp.ndarray, mask: jnp.ndarray, upsample_factor: int, is_depth: bool = False
+) -> jnp.ndarray:
+    """Convex upsampling: softmax-weighted combination of 3x3 neighbors.
+
+    flow: [B, H, W, C_f]; mask: [B, H, W, 9*K*K] (channel layout (9, Ky, Kx),
+    '9' slowest — the layout produced by a conv head whose torch channel dim
+    was 9*K*K). Returns [B, K*H, K*W, C_f]. Reference utils.py:134-152.
+    """
+    b, h, w, cf = flow.shape
+    k = upsample_factor
+    m = mask.reshape(b, h, w, 9, k, k)
+    m = jnp.asarray(jnp.exp(m - jnp.max(m, axis=3, keepdims=True)))
+    m = m / jnp.sum(m, axis=3, keepdims=True)  # softmax over the 9 neighbors
+
+    multiplier = 1.0 if is_depth else float(k)
+    patches = extract_patches(flow * multiplier, 3, 1)  # [B, H, W, 9, C_f]
+
+    # out[b,h,w,ky,kx,c] = sum_n m[b,h,w,n,ky,kx] * patches[b,h,w,n,c]
+    up = jnp.einsum("bhwnyx,bhwnc->bhwyxc", m, patches)
+    # [B, H, Ky, W, Kx, C] -> [B, H*K, W*K, C]
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * k, w * k, cf)
+    return up
