@@ -1,0 +1,127 @@
+"""Matching-layer ops vs the PyTorch reference (numerical oracle)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from unimatch_tpu.ops import correlation as C
+
+from reference_oracle import requires_reference, nchw, nhwc
+
+
+@requires_reference
+@pytest.mark.parametrize("bidir", [False, True])
+def test_global_correlation_softmax(rng, bidir):
+    from unimatch.matching import global_correlation_softmax
+
+    b, h, w, c = 2, 6, 9, 16
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+
+    flow, _ = C.global_correlation_softmax(jnp.asarray(f0), jnp.asarray(f1), pred_bidir_flow=bidir)
+
+    ref_flow, _ = global_correlation_softmax(nchw(f0), nchw(f1), pred_bidir_flow=bidir)
+    np.testing.assert_allclose(np.asarray(flow), nhwc(ref_flow), rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("radius", [1, 4])
+def test_local_correlation_softmax(rng, radius):
+    from unimatch.matching import local_correlation_softmax
+
+    b, h, w, c = 2, 7, 11, 16
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+
+    flow, _ = C.local_correlation_softmax(jnp.asarray(f0), jnp.asarray(f1), radius)
+
+    ref_flow, _ = local_correlation_softmax(nchw(f0), nchw(f1), radius)
+    np.testing.assert_allclose(np.asarray(flow), nhwc(ref_flow), rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
+def test_local_correlation_with_flow(rng):
+    from unimatch.matching import local_correlation_with_flow
+
+    b, h, w, c = 2, 8, 10, 16
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    flow = (rng.randn(b, h, w, 2) * 2.5).astype(np.float32)
+
+    corr = C.local_correlation_with_flow(jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(flow), 4)
+
+    ref = local_correlation_with_flow(nchw(f0), nchw(f1), flow=nchw(flow), local_radius=4)
+    np.testing.assert_allclose(np.asarray(corr), nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
+def test_global_correlation_softmax_stereo(rng):
+    from unimatch.matching import global_correlation_softmax_stereo
+
+    b, h, w, c = 2, 5, 12, 16
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+
+    disp, _ = C.global_correlation_softmax_stereo(jnp.asarray(f0), jnp.asarray(f1))
+
+    ref_disp, _ = global_correlation_softmax_stereo(nchw(f0), nchw(f1))
+    np.testing.assert_allclose(np.asarray(disp), nhwc(ref_disp), rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
+def test_local_correlation_softmax_stereo(rng):
+    from unimatch.matching import local_correlation_softmax_stereo
+
+    b, h, w, c = 2, 5, 12, 16
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+
+    disp, _ = C.local_correlation_softmax_stereo(jnp.asarray(f0), jnp.asarray(f1), 4)
+
+    ref_disp, _ = local_correlation_softmax_stereo(nchw(f0), nchw(f1), 4)
+    # reference returns flow_x = -flow (positive disparity)
+    np.testing.assert_allclose(np.asarray(disp), nhwc(ref_disp), rtol=1e-4, atol=1e-5)
+
+
+def _random_pose(rng):
+    """Small random rotation + translation, [4, 4]."""
+    angle = rng.randn(3) * 0.05
+    ax, ay, az = angle
+    Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)], [0, np.sin(ax), np.cos(ax)]])
+    Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0], [-np.sin(ay), 0, np.cos(ay)]])
+    Rz = np.array([[np.cos(az), -np.sin(az), 0], [np.sin(az), np.cos(az), 0], [0, 0, 1]])
+    pose = np.eye(4)
+    pose[:3, :3] = Rz @ Ry @ Rx
+    pose[:3, 3] = rng.randn(3) * 0.1
+    return pose.astype(np.float32)
+
+
+@requires_reference
+@pytest.mark.parametrize("bidir", [False, True])
+def test_correlation_softmax_depth(rng, bidir):
+    from unimatch.matching import correlation_softmax_depth
+
+    b, h, w, c, d = 1, 8, 10, 16, 8
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    K = np.array([[[12.0, 0, 4.5], [0, 12.0, 3.5], [0, 0, 1]]] * b, np.float32)
+    pose = np.stack([_random_pose(rng) for _ in range(b)])
+    inv_depth = np.linspace(1 / 0.5, 1 / 10.0, d, dtype=np.float32)
+    cand = np.broadcast_to(inv_depth[None, :, None, None], (b, d, h, w)).copy()
+
+    depth, _ = C.correlation_softmax_depth(
+        jnp.asarray(f0),
+        jnp.asarray(f1),
+        jnp.asarray(K),
+        jnp.asarray(pose),
+        jnp.asarray(cand),
+        pred_bidir_depth=bidir,
+    )
+
+    ref_depth, _ = correlation_softmax_depth(
+        nchw(f0), nchw(f1), torch.from_numpy(K), torch.from_numpy(pose),
+        depth_candidates=torch.from_numpy(cand), pred_bidir_depth=bidir,
+    )
+    np.testing.assert_allclose(np.asarray(depth), nhwc(ref_depth), rtol=1e-3, atol=1e-4)

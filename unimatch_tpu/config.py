@@ -53,9 +53,11 @@ class InferenceConfig:
     corr_radius_list: Tuple[int, ...] = (-1,)
     prop_radius_list: Tuple[int, ...] = (-1,)
     num_reg_refine: int = 1
-    # depth-task options (reference unimatch.py:104-109); min/max are *inverse* depth
-    min_depth: float = 1.0 / 0.5
-    max_depth: float = 1.0 / 10.0
+    # depth-task options. Both bounds are *inverse* depths with min < max:
+    # call sites pass min_depth=1/metric_max, max_depth=1/metric_min
+    # (reference main_depth.py:369-370; the forward's own defaults are unused).
+    min_depth: float = 1.0 / 10.0
+    max_depth: float = 1.0 / 0.5
     num_depth_candidates: int = 64
     depth_from_argmax: bool = False
 

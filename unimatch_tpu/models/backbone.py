@@ -1,0 +1,130 @@
+"""CNN feature extractor (flax.linen, NHWC).
+
+Capability parity with the reference encoder (unimatch/backbone.py:39-133):
+a 7x7 stride-2 stem + three 2-residual-block stages [64, 96, 128] with
+instance norm, a 1x1 projection, and — for multi-scale models — a
+weight-shared multi-stride "trident" conv (trident_conv.py:10-91) emitting
+one feature map per scale from the single highest-resolution map.
+
+TPU-native choices: NHWC layout throughout (XLA's preferred conv layout);
+the trident conv is one parameter applied N times with different strides,
+each application an MXU-tiled convolution.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from unimatch_tpu.models.layers import conv2d, instance_norm, conv_kaiming_init
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> IN -> relu -> conv3x3 -> IN -> relu, additive skip.
+
+    Reference semantics: backbone.py:6-36 (norms have no affine params).
+    """
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_planes = x.shape[-1]
+        y = conv2d(
+            self.planes, 3, stride=self.stride, padding=self.dilation,
+            dilation=self.dilation, use_bias=False, name="conv1",
+        )(x)
+        y = jax.nn.relu(instance_norm(y))
+        y = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
+                   use_bias=False, name="conv2")(y)
+        y = jax.nn.relu(instance_norm(y))
+
+        if self.stride != 1 or in_planes != self.planes:
+            x = conv2d(self.planes, 1, stride=self.stride, name="downsample")(x)
+            x = instance_norm(x)
+        return jax.nn.relu(x + y)
+
+
+class TridentConv(nn.Module):
+    """One shared 3x3 kernel applied at multiple strides (multi-scale branches).
+
+    Reference semantics: trident_conv.py:52-72 (weight shared across branches,
+    no bias, same padding).
+    """
+
+    features: int
+    strides: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", conv_kaiming_init, (3, 3, in_ch, self.features))
+        outs = []
+        for s in self.strides:
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    x,
+                    kernel.astype(x.dtype),
+                    window_strides=(s, s),
+                    padding=[(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+        return outs  # high resolution to low
+
+
+class CNNEncoder(nn.Module):
+    """6-residual-block encoder; returns per-scale features, low-res first.
+
+    output scales: num_output_scales==1 -> [1/8]; ==2 -> [1/8, 1/4] via
+    trident conv on the 1/4 map. return_all_scales -> [1/2, 1/4, 1/8 proj]
+    (high->low, used by the DepthSplat variant).
+    """
+
+    output_dim: int = 128
+    num_output_scales: int = 1
+    return_all_scales: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        feature_dims = (64, 96, 128)
+        all_scales: List[jnp.ndarray] = []
+
+        x = conv2d(feature_dims[0], 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
+        x = jax.nn.relu(instance_norm(x))
+
+        # stage 1 (1/2)
+        x = ResidualBlock(feature_dims[0], stride=1, name="layer1_0")(x)
+        x = ResidualBlock(feature_dims[0], stride=1, name="layer1_1")(x)
+        if self.return_all_scales:
+            all_scales.append(x)
+
+        # stage 2 (1/4)
+        x = ResidualBlock(feature_dims[1], stride=2, name="layer2_0")(x)
+        x = ResidualBlock(feature_dims[1], stride=1, name="layer2_1")(x)
+        if self.return_all_scales:
+            all_scales.append(x)
+
+        # stage 3: highest output res is 1/4 for multi-scale, else 1/8
+        stride3 = 2 if (self.num_output_scales == 1 or self.return_all_scales) else 1
+        x = ResidualBlock(feature_dims[2], stride=stride3, name="layer3_0")(x)
+        x = ResidualBlock(feature_dims[2], stride=1, name="layer3_1")(x)
+
+        x = conv2d(self.output_dim, 1, name="conv2")(x)
+
+        if self.return_all_scales:
+            all_scales.append(x)
+            return all_scales  # high -> low resolution
+
+        if self.num_output_scales > 1:
+            strides = {2: (1, 2), 3: (1, 2, 4), 4: (1, 2, 4, 8)}[self.num_output_scales]
+            out = TridentConv(self.output_dim, strides, name="trident_conv")(x)
+        else:
+            out = [x]
+        # reverse: low resolution first (matches UniMatch's scale loop order)
+        return out[::-1]

@@ -1,0 +1,105 @@
+"""RAFT-style task-agnostic regression refinement (flax.linen, NHWC).
+
+Capability parity with the reference (unimatch/reg_refine.py:6-119):
+  FlowHead           2-conv delta-flow head
+  SepConvGRU         separable (1xK then Kx1) gated conv GRU
+  BasicMotionEncoder correlation+flow -> 128-d motion features
+  BasicUpdateBlock   encoder -> GRU -> flow head (+ optional upsample-mask head)
+
+The per-iteration GRU update is driven by lax-friendly static unrolling in
+the UniMatch assembly (num_reg_refine is a static config), so XLA fuses each
+iteration's convs; a lax.scan variant is provided by the assembly when the
+iteration count is large.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from unimatch_tpu.models.layers import conv2d
+
+
+class FlowHead(nn.Module):
+    hidden_dim: int = 256
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = conv2d(self.hidden_dim, 3, padding=1, name="conv1")(x)
+        y = jax.nn.relu(y)
+        return conv2d(self.out_dim, 3, padding=1, name="conv2")(y)
+
+
+class SepConvGRU(nn.Module):
+    hidden_dim: int = 128
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        p = (self.kernel_size - 1) // 2
+        hd = self.hidden_dim
+
+        # horizontal pass (1 x K kernels)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(conv2d(hd, (1, self.kernel_size), padding=(0, p), name="convz1")(hx))
+        r = jax.nn.sigmoid(conv2d(hd, (1, self.kernel_size), padding=(0, p), name="convr1")(hx))
+        q = jnp.tanh(
+            conv2d(hd, (1, self.kernel_size), padding=(0, p), name="convq1")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        h = (1 - z) * h + z * q
+
+        # vertical pass (K x 1 kernels)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(conv2d(hd, (self.kernel_size, 1), padding=(p, 0), name="convz2")(hx))
+        r = jax.nn.sigmoid(conv2d(hd, (self.kernel_size, 1), padding=(p, 0), name="convr2")(hx))
+        q = jnp.tanh(
+            conv2d(hd, (self.kernel_size, 1), padding=(p, 0), name="convq2")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        return (1 - z) * h + z * q
+
+
+class BasicMotionEncoder(nn.Module):
+    flow_channels: int = 2
+
+    @nn.compact
+    def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+        cor = jax.nn.relu(conv2d(256, 1, name="convc1")(corr))
+        cor = jax.nn.relu(conv2d(192, 3, padding=1, name="convc2")(cor))
+        flo = jax.nn.relu(conv2d(128, 7, padding=3, name="convf1")(flow))
+        flo = jax.nn.relu(conv2d(64, 3, padding=1, name="convf2")(flo))
+        out = jax.nn.relu(
+            conv2d(128 - self.flow_channels, 3, padding=1, name="conv")(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)  # 128 channels
+
+
+class BasicUpdateBlock(nn.Module):
+    hidden_dim: int = 128
+    downsample_factor: int = 8
+    flow_dim: int = 2
+    bilinear_up: bool = False  # depth: no learned mask head
+
+    @nn.compact
+    def __call__(
+        self, net: jnp.ndarray, inp: jnp.ndarray, corr: jnp.ndarray, flow: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+        motion = BasicMotionEncoder(flow_channels=self.flow_dim, name="encoder")(flow, corr)
+        inp = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, inp)
+        delta = FlowHead(hidden_dim=256, out_dim=self.flow_dim, name="flow_head")(net)
+
+        mask = None
+        if not self.bilinear_up:
+            m = jax.nn.relu(conv2d(256, 3, padding=1, name="mask_0")(net))
+            mask = conv2d(self.downsample_factor**2 * 9, 1, name="mask_2")(m)
+        return net, mask, delta

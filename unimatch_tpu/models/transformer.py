@@ -1,0 +1,178 @@
+"""Feature transformer: stacked self/cross attention blocks (flax.linen).
+
+Capability parity with the reference (unimatch/transformer.py:9-294):
+  * TransformerLayer: single-head q/k/v/merge projections (no bias),
+    post-norm, and — only on cross-attention layers — an FFN over
+    concat(source, message) with 2x input width and GELU.
+  * TransformerBlock = self-attn layer + cross-attn+FFN layer.
+  * FeatureTransformer: N blocks; feature0/feature1 are stacked on the batch
+    axis so both directions compute in one pass; every odd block uses the
+    shifted window (Swin SW-MSA) with a precomputed additive mask.
+
+Unlike the reference (which detects self-vs-cross attention numerically at
+runtime via (q-k).abs().max() — transformer.py:55), self/cross is a *static*
+property of the call site here, so XLA specializes each path.
+
+attn_type dispatch (reference transformer.py:62-135):
+  'swin'                      flow: self & cross both swin-2D
+  'self_swin2d_cross_1d'      stereo scale1: cross-attn is full 1D per row
+  'self_swin2d_cross_swin1d'  stereo scale2: cross-attn is shifted-window 1D
+  anything else               full 2D attention
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from unimatch_tpu.models.layers import LayerNorm, gelu_exact, xavier_uniform
+from unimatch_tpu.ops import attention_ops as A
+from unimatch_tpu.ops import windows as W
+
+
+def _dense(features: int, name: str) -> nn.Dense:
+    return nn.Dense(features, use_bias=False, kernel_init=xavier_uniform, name=name)
+
+
+class TransformerLayer(nn.Module):
+    d_model: int = 128
+    no_ffn: bool = False
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        source: jnp.ndarray,  # [B, L, C]
+        target: jnp.ndarray,  # [B, L, C]
+        is_self_attn: bool,
+        h: int,
+        w: int,
+        attn_type: str = "swin",
+        with_shift: bool = False,
+        attn_num_splits: int = 1,
+        attn_mask_2d: Optional[jnp.ndarray] = None,
+        attn_mask_1d: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        c = self.d_model
+        query = _dense(c, "q_proj")(source)
+        key = _dense(c, "k_proj")(target)
+        value = _dense(c, "v_proj")(target)
+
+        if attn_type == "swin" and attn_num_splits > 1:
+            message = A.split_window_attention(
+                query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d
+            )
+        elif attn_type == "self_swin2d_cross_1d":
+            if is_self_attn:
+                if attn_num_splits > 1:
+                    message = A.split_window_attention(
+                        query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d
+                    )
+                else:
+                    message = A.full_attention(query, key, value)
+            else:
+                message = A.full_attention_1d(query, key, value, h, w)
+        elif attn_type == "self_swin2d_cross_swin1d":
+            if is_self_attn:
+                if attn_num_splits > 1:
+                    message = A.split_window_attention(
+                        query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d
+                    )
+                else:
+                    message = A.full_attention(query, key, value)
+            else:
+                if attn_num_splits > 1:
+                    assert attn_mask_1d is not None
+                    message = A.split_window_attention_1d(
+                        query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_1d
+                    )
+                else:
+                    message = A.full_attention_1d(query, key, value, h, w)
+        else:
+            message = A.full_attention(query, key, value)
+
+        message = _dense(c, "merge")(message)
+        message = LayerNorm(name="norm1")(message)
+
+        if not self.no_ffn:
+            hdim = 2 * c * self.ffn_dim_expansion
+            y = jnp.concatenate([source, message], axis=-1)
+            y = _dense(hdim, "mlp_0")(y)
+            y = gelu_exact(y)
+            message = _dense(c, "mlp_2")(y)
+            message = LayerNorm(name="norm2")(message)
+
+        return source + message
+
+
+class TransformerBlock(nn.Module):
+    """Self-attention layer followed by cross-attention + FFN layer."""
+
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(self, source, target, h, w, attn_type, with_shift, attn_num_splits,
+                 attn_mask_2d=None, attn_mask_1d=None):
+        source = TransformerLayer(
+            d_model=self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
+            name="self_attn",
+        )(source, source, True, h, w, attn_type, with_shift, attn_num_splits,
+          attn_mask_2d, attn_mask_1d)
+
+        source = TransformerLayer(
+            d_model=self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
+            name="cross_attn_ffn",
+        )(source, target, False, h, w, attn_type, with_shift, attn_num_splits,
+          attn_mask_2d, attn_mask_1d)
+        return source
+
+
+class FeatureTransformer(nn.Module):
+    num_layers: int = 6
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        feature0: jnp.ndarray,  # [B, H, W, C]
+        feature1: jnp.ndarray,
+        attn_type: str = "swin",
+        attn_num_splits: int = 1,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, h, w, c = feature0.shape
+        assert c == self.d_model
+
+        f0 = feature0.reshape(b, h * w, c)
+        f1 = feature1.reshape(b, h * w, c)
+
+        mask_2d = None
+        if "swin" in attn_type and attn_num_splits > 1:
+            wh, ww = h // attn_num_splits, w // attn_num_splits
+            mask_2d = W.generate_shift_window_attn_mask(h, w, wh, ww, wh // 2, ww // 2)
+
+        mask_1d = None
+        if "swin1d" in attn_type and attn_num_splits > 1:
+            ww = w // attn_num_splits
+            mask_1d = W.generate_shift_window_attn_mask_1d(w, ww, ww // 2)
+
+        # both directions in one pass: stack (0->1) and (1->0) on batch
+        concat0 = jnp.concatenate([f0, f1], axis=0)  # [2B, L, C]
+        concat1 = jnp.concatenate([f1, f0], axis=0)
+
+        for i in range(self.num_layers):
+            with_shift = "swin" in attn_type and attn_num_splits > 1 and i % 2 == 1
+            concat0 = TransformerBlock(
+                d_model=self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
+                name=f"block_{i}",
+            )(concat0, concat1, h, w, attn_type, with_shift, attn_num_splits, mask_2d, mask_1d)
+            # re-derive the swapped pairing from the updated features
+            new_f0, new_f1 = jnp.split(concat0, 2, axis=0)
+            concat1 = jnp.concatenate([new_f1, new_f0], axis=0)
+
+        f0, f1 = jnp.split(concat0, 2, axis=0)
+        return f0.reshape(b, h, w, c), f1.reshape(b, h, w, c)

@@ -1,0 +1,359 @@
+"""UniMatch: unified flow / stereo / depth dense matching (flax.linen, NHWC).
+
+Capability parity with the reference assembly (unimatch/unimatch.py:16-367):
+shared CNN backbone + feature transformer + correlation-softmax matching +
+self-attention propagation, with task-conditional readout:
+
+  flow    2D global/local correlation, residual across scales, convex upsample
+  stereo  1D correlation with positive-disparity clamp; disparity is packed as
+          (-d, 0) 2-channel flow for the shared task-agnostic upsampler
+  depth   plane-sweep matching over inverse-depth candidates; operates in
+          inverse-depth space, inverted at the end
+
+Optional RAFT-style regression refinement (reg_refine): per iteration, a
+flow-shifted local correlation feeds a ConvGRU update block
+(reference unimatch.py:272-354). NOTE (parity): the GRU hidden state is
+re-initialized from feature0 every iteration — the reference computes
+refine_proj inside the refine loop (unimatch.py:315-321); XLA CSEs the
+recomputation away.
+
+Static-shape / trace-once design: `task`, per-scale radii/splits, and
+iteration counts are static jit arguments, so each (task, resolution,
+config) pair compiles to one specialized XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from unimatch_tpu.config import ModelConfig, InferenceConfig
+from unimatch_tpu.models.backbone import CNNEncoder
+from unimatch_tpu.models.transformer import FeatureTransformer
+from unimatch_tpu.models.propagation import SelfAttnPropagation
+from unimatch_tpu.models.reg_refine import BasicUpdateBlock
+from unimatch_tpu.models.layers import conv2d
+from unimatch_tpu.ops import correlation as C
+from unimatch_tpu.ops import geometry as G
+from unimatch_tpu.ops.position import feature_add_position
+from unimatch_tpu.ops.upsample import upsample_with_mask
+
+# ImageNet statistics, applied to [0, 255] inputs for the flow task
+# (stereo/depth pipelines normalize in the data loader). Reference utils.py:23-31.
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_img(img0: jnp.ndarray, img1: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mean = jnp.asarray(_IMAGENET_MEAN, img0.dtype) * 255.0
+    std = jnp.asarray(_IMAGENET_STD, img0.dtype) * 255.0
+    return (img0 - mean) / std, (img1 - mean) / std
+
+
+class Upsampler(nn.Module):
+    """Convex-upsample mask head: concat(flow, feature) -> 9*K^2 weights.
+
+    Reference unimatch.py:50-52.
+    """
+
+    upsample_factor: int
+
+    @nn.compact
+    def __call__(self, flow: jnp.ndarray, feature: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([flow, feature], axis=-1)
+        x = jax.nn.relu(conv2d(256, 3, padding=1, name="conv_0")(x))
+        return conv2d(self.upsample_factor**2 * 9, 1, name="conv_2")(x)
+
+
+class UniMatch(nn.Module):
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.backbone = CNNEncoder(
+            output_dim=cfg.feature_channels, num_output_scales=cfg.num_scales, name="backbone"
+        )
+        self.transformer = FeatureTransformer(
+            num_layers=cfg.num_transformer_layers,
+            d_model=cfg.feature_channels,
+            ffn_dim_expansion=cfg.ffn_dim_expansion,
+            name="transformer",
+        )
+        self.feature_flow_attn = SelfAttnPropagation(
+            in_channels=cfg.feature_channels, name="feature_flow_attn"
+        )
+        if (not cfg.reg_refine) or cfg.task == "depth":
+            self.upsampler = Upsampler(cfg.upsample_factor, name="upsampler")
+        if cfg.reg_refine:
+            self.refine_proj = conv2d(256, 1, name="refine_proj")
+            self.refine = BasicUpdateBlock(
+                downsample_factor=cfg.upsample_factor,
+                flow_dim=2 if cfg.task == "flow" else 1,
+                bilinear_up=cfg.task == "depth",
+                name="refine",
+            )
+
+    # ----- helpers -----
+
+    def extract_feature(self, img0, img1) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        """Run the backbone once on both images (stacked on batch).
+
+        Returns per-scale feature lists, low resolution first.
+        Reference unimatch.py:64-79.
+        """
+        concat = jnp.concatenate([img0, img1], axis=0)
+        features = self.backbone(concat)  # low-res first
+        f0s, f1s = [], []
+        for f in features:
+            f0, f1 = jnp.split(f, 2, axis=0)
+            f0s.append(f0)
+            f1s.append(f1)
+        return f0s, f1s
+
+    def _upsample_bilinear(self, flow, upsample_factor: int, is_depth: bool):
+        b, h, w, c = flow.shape
+        mult = 1.0 if is_depth else float(upsample_factor)
+        up = G.resize_bilinear_align_corners(flow, h * upsample_factor, w * upsample_factor)
+        return up * mult
+
+    def _upsample_convex(self, flow, feature, is_depth: bool = False):
+        mask = self.upsampler(flow, feature)
+        return upsample_with_mask(flow, mask, self.config.upsample_factor, is_depth=is_depth)
+
+    # ----- forward -----
+
+    def __call__(
+        self,
+        img0: jnp.ndarray,  # [B, H, W, 3]
+        img1: jnp.ndarray,
+        infer: InferenceConfig = InferenceConfig(),
+        pred_bidir_flow: bool = False,
+        pred_bidir_depth: bool = False,
+        intrinsics: Optional[jnp.ndarray] = None,  # [B, 3, 3] (depth task)
+        pose: Optional[jnp.ndarray] = None,  # [B, 4, 4] relative ref->tgt (depth task)
+        training: bool = False,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        task = cfg.task
+        if pred_bidir_flow:
+            assert task == "flow"
+        if task == "depth":
+            assert cfg.num_scales == 1, "multi-scale depth is not supported"
+            assert len(infer.attn_splits_list) == len(infer.prop_radius_list) == 1
+        else:
+            assert (
+                len(infer.attn_splits_list)
+                == len(infer.corr_radius_list)
+                == len(infer.prop_radius_list)
+                == cfg.num_scales
+            )
+
+        flow_preds: List[jnp.ndarray] = []
+
+        if task == "flow":
+            img0, img1 = normalize_img(img0, img1)
+
+        feature0_list, feature1_list = self.extract_feature(img0, img1)
+
+        flow = None
+        intrinsics_curr = None
+
+        for scale_idx in range(cfg.num_scales):
+            feature0, feature1 = feature0_list[scale_idx], feature1_list[scale_idx]
+
+            if pred_bidir_flow and scale_idx > 0:
+                feature0, feature1 = (
+                    jnp.concatenate([feature0, feature1], axis=0),
+                    jnp.concatenate([feature1, feature0], axis=0),
+                )
+
+            feature0_ori, feature1_ori = feature0, feature1
+
+            upsample_factor = cfg.upsample_factor * (2 ** (cfg.num_scales - 1 - scale_idx))
+
+            if task == "depth":
+                # express intrinsics at feature resolution
+                scalemat = jnp.asarray([[1.0 / upsample_factor]] * 2 + [[1.0]], jnp.float32)
+                intrinsics_curr = intrinsics * scalemat[None]
+
+            if scale_idx > 0:
+                b_, h_, w_, _ = flow.shape
+                flow = G.resize_bilinear_align_corners(flow, h_ * 2, w_ * 2) * 2.0
+
+            if flow is not None:
+                flow = jax.lax.stop_gradient(flow)
+                if task == "stereo":
+                    # disparity is positive; warp along -x
+                    displace = jnp.concatenate([-flow, jnp.zeros_like(flow)], axis=-1)
+                    feature1 = G.flow_warp(feature1, displace)
+                elif task == "flow":
+                    feature1 = G.flow_warp(feature1, flow)
+                else:
+                    raise NotImplementedError
+
+            attn_splits = infer.attn_splits_list[scale_idx]
+            corr_radius = infer.corr_radius_list[scale_idx] if task != "depth" else None
+            prop_radius = infer.prop_radius_list[scale_idx]
+
+            feature0, feature1 = feature_add_position(
+                feature0, feature1, attn_splits, cfg.feature_channels
+            )
+
+            feature0, feature1 = self.transformer(
+                feature0, feature1, attn_type=infer.attn_type, attn_num_splits=attn_splits
+            )
+
+            # correlation + softmax readout
+            if task == "depth":
+                b_, h_, w_, _ = feature0.shape
+                cand = jnp.linspace(
+                    infer.min_depth, infer.max_depth, infer.num_depth_candidates,
+                    dtype=jnp.float32,
+                )
+                depth_candidates = jnp.broadcast_to(
+                    cand[None, :, None, None], (b_, infer.num_depth_candidates, h_, w_)
+                )
+                flow_pred = C.correlation_softmax_depth(
+                    feature0,
+                    feature1,
+                    intrinsics_curr,
+                    pose,
+                    depth_candidates,
+                    depth_from_argmax=infer.depth_from_argmax,
+                    pred_bidir_depth=pred_bidir_depth,
+                )[0]
+            elif corr_radius == -1:  # global matching
+                if task == "flow":
+                    flow_pred = C.global_correlation_softmax(feature0, feature1, pred_bidir_flow)[0]
+                else:
+                    flow_pred = C.global_correlation_softmax_stereo(feature0, feature1)[0]
+            else:  # local matching
+                if task == "flow":
+                    flow_pred = C.local_correlation_softmax(feature0, feature1, corr_radius)[0]
+                else:
+                    flow_pred = C.local_correlation_softmax_stereo(feature0, feature1, corr_radius)[0]
+
+            flow = flow + flow_pred if flow is not None else flow_pred
+
+            if task == "stereo":
+                flow = jnp.maximum(flow, 0.0)
+
+            if training:  # deep supervision on the raw match
+                flow_preds.append(
+                    self._upsample_bilinear(flow, upsample_factor, is_depth=task == "depth")
+                )
+
+            # propagation operates on both directions when bidirectional
+            if (pred_bidir_flow or pred_bidir_depth) and scale_idx == 0:
+                feature0 = jnp.concatenate([feature0, feature1], axis=0)
+
+            flow = self.feature_flow_attn(
+                feature0,
+                jax.lax.stop_gradient(flow),
+                local_window_attn=prop_radius > 0,
+                local_window_radius=prop_radius,
+            )
+
+            if training and scale_idx < cfg.num_scales - 1:
+                flow_preds.append(
+                    self._upsample_bilinear(flow, upsample_factor, is_depth=task == "depth")
+                )
+
+            if scale_idx == cfg.num_scales - 1:
+                if not cfg.reg_refine:
+                    if task == "stereo":
+                        flow_pad = jnp.concatenate([-flow, jnp.zeros_like(flow)], axis=-1)
+                        flow_up = -self._upsample_convex(flow_pad, feature0)[..., :1]
+                    elif task == "depth":
+                        depth_pad = jnp.concatenate([flow, jnp.zeros_like(flow)], axis=-1)
+                        flow_up = jnp.clip(
+                            self._upsample_convex(depth_pad, feature0, is_depth=True),
+                            infer.min_depth,
+                            infer.max_depth,
+                        )[..., :1]
+                    else:
+                        flow_up = self._upsample_convex(flow, feature0)
+                    flow_preds.append(flow_up)
+                else:
+                    if training:
+                        flow_preds.append(
+                            self._upsample_bilinear(flow, upsample_factor, is_depth=task == "depth")
+                        )
+
+                    assert infer.num_reg_refine > 0
+                    for refine_iter_idx in range(infer.num_reg_refine):
+                        flow = jax.lax.stop_gradient(flow)
+
+                        if task == "stereo":
+                            displace = jnp.concatenate([-flow, jnp.zeros_like(flow)], axis=-1)
+                            corr = C.local_correlation_with_flow(
+                                feature0_ori, feature1_ori, displace, local_radius=4
+                            )
+                        elif task == "depth":
+                            if pred_bidir_depth and refine_iter_idx == 0:
+                                intrinsics_curr = jnp.concatenate(
+                                    [intrinsics_curr, intrinsics_curr], axis=0
+                                )
+                                pose = jnp.concatenate([pose, jnp.linalg.inv(pose)], axis=0)
+                                feature0_ori, feature1_ori = (
+                                    jnp.concatenate([feature0_ori, feature1_ori], axis=0),
+                                    jnp.concatenate([feature1_ori, feature0_ori], axis=0),
+                                )
+                            flow_from_depth = G.compute_flow_with_depth_pose(
+                                1.0 / flow[..., 0], intrinsics_curr, extrinsics_rel=pose
+                            )
+                            corr = C.local_correlation_with_flow(
+                                feature0_ori, feature1_ori, flow_from_depth, local_radius=4
+                            )
+                        else:
+                            corr = C.local_correlation_with_flow(
+                                feature0_ori, feature1_ori, flow, local_radius=4
+                            )
+
+                        proj = self.refine_proj(feature0)
+                        net, inp = jnp.split(proj, 2, axis=-1)
+                        net = jnp.tanh(net)
+                        inp = jax.nn.relu(inp)
+
+                        net, up_mask, residual_flow = self.refine(net, inp, corr, flow)
+
+                        if task == "depth":
+                            flow = jnp.clip(
+                                flow - residual_flow, infer.min_depth, infer.max_depth
+                            )
+                        else:
+                            flow = flow + residual_flow
+
+                        if task == "stereo":
+                            flow = jnp.maximum(flow, 0.0)
+
+                        if training or refine_iter_idx == infer.num_reg_refine - 1:
+                            if task == "depth":
+                                if refine_iter_idx < infer.num_reg_refine - 1:
+                                    flow_up = self._upsample_bilinear(
+                                        flow, upsample_factor, is_depth=True
+                                    )
+                                else:
+                                    depth_pad = jnp.concatenate(
+                                        [flow, jnp.zeros_like(flow)], axis=-1
+                                    )
+                                    flow_up = jnp.clip(
+                                        self._upsample_convex(depth_pad, feature0, is_depth=True),
+                                        infer.min_depth,
+                                        infer.max_depth,
+                                    )[..., :1]
+                            else:
+                                flow_up = upsample_with_mask(
+                                    flow, up_mask, cfg.upsample_factor, is_depth=False
+                                )
+                            flow_preds.append(flow_up)
+
+        if task == "stereo":
+            flow_preds = [p[..., 0] for p in flow_preds]  # [B, H, W]
+        if task == "depth":
+            flow_preds = [1.0 / p[..., 0] for p in flow_preds]  # inverse -> metric depth
+
+        return {"flow_preds": flow_preds}
