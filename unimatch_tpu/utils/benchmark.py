@@ -1,0 +1,37 @@
+"""Reliable device timing through async/remote runtimes.
+
+jax.block_until_ready is not trustworthy through the remote-TPU relay used in
+some environments (it can return after enqueue rather than completion, or
+serialize host transfers at relay bandwidth). `time_chained` instead chains
+every iteration's output into a scalar accumulator and fetches only the final
+scalar: the data dependency forces sequential device execution of all N
+programs, and the single scalar transfer is negligible.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def time_chained(fn: Callable, *args, n: int = 20, warmup: int = 3) -> float:
+    """Average seconds per call of fn(*args), forcing real device execution."""
+
+    def reduced(*a):
+        out = fn(*a)
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    reduced_jit = jax.jit(reduced)
+    for _ in range(max(warmup, 1)):
+        float(reduced_jit(*args))
+
+    t0 = time.perf_counter()
+    s = jnp.zeros((), jnp.float32)
+    for _ in range(n):
+        s = s + reduced_jit(*args)
+    float(s)
+    return (time.perf_counter() - t0) / n
