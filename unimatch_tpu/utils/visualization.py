@@ -11,9 +11,9 @@ import numpy as np
 
 
 def _colormap(values01: np.ndarray, name: str) -> np.ndarray:
-    import matplotlib.cm as cm
+    import matplotlib
 
-    mapper = cm.get_cmap(name)
+    mapper = matplotlib.colormaps[name]
     out = mapper(np.clip(values01, 0.0, 1.0))[..., :3]
     return (out * 255).astype(np.uint8)
 
