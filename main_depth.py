@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Two-view posed depth driver: train / --eval / --inference_dir.
+
+CLI-compatible with the reference's main_depth.py.
+"""
+
+import argparse
+
+from unimatch_tpu.cli import add_common_args, build_model_and_infer, train_loop
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("unimatch_tpu depth")
+    add_common_args(parser)
+    parser.add_argument("--stage", default="scannet", type=str)
+    parser.add_argument("--image_size", default=[480, 640], type=int, nargs="+")
+    parser.add_argument("--val_dataset", default=["scannet"], type=str, nargs="+")
+    parser.add_argument("--min_depth", default=0.5, type=float)
+    parser.add_argument("--max_depth", default=10.0, type=float)
+    parser.add_argument("--eval_min_depth", default=0.5, type=float)
+    parser.add_argument("--eval_max_depth", default=10.0, type=float)
+    parser.add_argument("--num_depth_candidates", default=64, type=int)
+    parser.add_argument("--depth_from_argmax", action="store_true")
+    parser.add_argument("--pred_bidir_depth", action="store_true")
+    parser.add_argument("--inference_dir", default=None, type=str)
+    parser.add_argument("--output_path", default="output", type=str)
+    parser.add_argument("--depth_loss_weight", default=20.0, type=float)
+    return parser
+
+
+def _load_params(args, model, infer):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unimatch_tpu import checkpoint as ckpt
+
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    K = jnp.asarray(np.eye(3, dtype=np.float32)[None] * 50.0)
+    pose = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    params = model.init(jax.random.PRNGKey(0), img, img, infer=infer, intrinsics=K, pose=pose)
+    if args.resume:
+        loaded = ckpt.load_any_params(args.resume)
+        merged = ckpt.merge_params(
+            jax.device_get(params["params"]), loaded.get("params", loaded),
+            strict=args.strict_resume,
+        )
+        params = {"params": jax.tree.map(jnp.asarray, merged)}
+    if args.bf16:
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    return params
+
+
+def main(args):
+    if args.inference_dir:
+        from unimatch_tpu.inference import inference_depth
+
+        model, infer = build_model_and_infer(args, "depth")
+        params = _load_params(args, model, infer)
+        inference_depth(
+            model, params, infer,
+            inference_dir=args.inference_dir,
+            output_path=args.output_path,
+            padding_factor=args.padding_factor,
+            depth_from_argmax=args.depth_from_argmax,
+            pred_bidir_depth=args.pred_bidir_depth,
+        )
+        return
+
+    if args.eval:
+        from unimatch_tpu.evaluate import depth as E
+
+        model, infer = build_model_and_infer(args, "depth")
+        params = _load_params(args, model, infer)
+        results = {}
+        for val in args.val_dataset:
+            if val == "scannet":
+                results.update(E.validate_scannet(
+                    model, params, infer, root=f"{args.datasets_root}/Scannet",
+                    eval_min_depth=args.eval_min_depth, eval_max_depth=args.eval_max_depth,
+                    count_time=args.count_time))
+            elif val == "demon":
+                results.update(E.validate_demon(
+                    model, params, infer, root=f"{args.datasets_root}/Demon",
+                    eval_min_depth=args.eval_min_depth, eval_max_depth=args.eval_max_depth))
+        for k, v in results.items():
+            print(f"{k}: {v:.4f}")
+        return
+
+    # train
+    import numpy as np
+
+    def build_dataset_fn(a):
+        from unimatch_tpu.data.depth_datasets import (
+            DemonDataset, ScannetDataset, build_depth_train_transforms,
+        )
+
+        tr = build_depth_train_transforms(crop_size=tuple(a.image_size))
+        if a.stage == "scannet":
+            return ScannetDataset(data_dir=f"{a.datasets_root}/Scannet", mode="train", transforms=tr)
+        if a.stage == "demon":
+            return DemonDataset(data_dir=f"{a.datasets_root}/Demon", mode="train", transforms=tr)
+        raise ValueError(f"unknown stage {a.stage}")
+
+    def example_batch_fn(a):
+        h, w = a.image_size
+        return {
+            "img0": np.zeros((1, h, w, 3), np.float32),
+            "img1": np.zeros((1, h, w, 3), np.float32),
+            "depth_gt": np.ones((1, h, w), np.float32),
+            "valid": np.ones((1, h, w), np.float32),
+            "intrinsics": np.eye(3, dtype=np.float32)[None] * 50.0,
+            "pose": np.eye(4, dtype=np.float32)[None],
+        }
+
+    train_loop(args, "depth", build_dataset_fn, example_batch_fn)
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

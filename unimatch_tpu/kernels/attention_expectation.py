@@ -1,0 +1,102 @@
+"""Fused attention-expectation Pallas kernel.
+
+Computes out = softmax(q @ k^T / sqrt(C)) @ v  without ever materializing the
+[L, L] score matrix in HBM — scores for one query block live only in VMEM.
+
+This single kernel covers the two O(L^2) memory hot spots of UniMatch
+(BASELINE north star "fused Pallas matmul+softmax kernels that never
+materialize the full cost volume"):
+
+  * global correlation softmax (matching.py:7-36): v = pixel-coordinate grid,
+    expectation gives the soft-argmax correspondence directly;
+  * global self-attention flow propagation (attention.py:184-215): v = flow.
+
+The target length L is kept resident in VMEM per query block (k: L x C bf16
+~1.8 MB at Sintel 1/8 scale), so no streaming accumulators are needed; a jnp
+fallback handles CPU and oversized shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# upper bound for the VMEM-resident [BQ, L] fp32 score block (~bytes)
+_MAX_SCORE_BYTES = 12 * 1024 * 1024
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, l_real: int, scale: float):
+    q = q_ref[0]  # [BQ, C]
+    k = k_ref[0]  # [Lp, C]
+    v = v_ref[0]  # [Lp, Vp]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, Lp] fp32
+
+    lp = k.shape[0]
+    if lp != l_real:  # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < l_real, scores, -jnp.inf)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (out / s).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          block_q: int = 256) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(C)) v  — fused, fp32 softmax.
+
+    q, k: [B, L, C]; v: [B, L, V] (V small). Returns [B, Lq, V] float32.
+    """
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    vdim = v.shape[-1]
+    scale = 1.0 / (c**0.5)
+
+    # VMEM feasibility: fall back to plain jnp when the target axis is huge
+    if block_q * ((lk + 511) // 512 * 512) * 4 > _MAX_SCORE_BYTES or jax.default_backend() == "cpu":
+        scores = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) * scale
+        prob = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("blm,bmv->blv", prob, v.astype(jnp.float32))
+
+    lq_p = -(-lq // block_q) * block_q
+    lk_p = -(-lk // 512) * 512
+    v_p = max(128, -(-vdim // 128) * 128)
+
+    qp = _pad_to(q, lq_p, 1)
+    kp = _pad_to(k, lk_p, 1)
+    vp = _pad_to(_pad_to(v, lk_p, 1), v_p, 2)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, l_real=lk, scale=scale),
+        grid=(b, lq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, v_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, v_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, v_p), jnp.float32),
+    )(qp, kp, vp)
+
+    return out[:, :lq, :vdim]
