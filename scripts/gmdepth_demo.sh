@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+python main_depth.py \
+  --inference_dir demo/depth-scannet \
+  --resume pretrained/gmdepth-scale1-regrefine1-resumeflowthings-scannet.pth \
+  --output_path output/gmdepth-scannet \
+  --num_scales 1 --attn_splits_list 2 --prop_radius_list -1 \
+  --reg_refine --num_reg_refine 1 --padding_factor 16 "$@"

@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+python main_stereo.py \
+  --inference_dir demo/stereo-middlebury \
+  --resume pretrained/gmstereo-scale2-regrefine3-resumeflowthings-middleburyfthighres.pth \
+  --output_path output/gmstereo-middlebury \
+  --upsample_factor 4 --num_scales 2 --attn_type self_swin2d_cross_swin1d \
+  --attn_splits_list 2 8 --corr_radius_list -1 4 --prop_radius_list -1 1 \
+  --reg_refine --num_reg_refine 3 --padding_factor 32 --save_pfm_disp "$@"

@@ -1,0 +1,37 @@
+"""Pallas kernels vs their jnp reference twins (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unimatch_tpu.kernels.attention_expectation import attention_expectation
+
+
+def _reference(q, k, v):
+    c = q.shape[-1]
+    scores = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+    prob = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("blm,bmv->blv", prob, v.astype(jnp.float32))
+
+
+def test_attention_expectation_matches_reference(rng):
+    b, l, c = 2, 300, 128  # l deliberately not a multiple of the block size
+    q = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
+    v = jnp.asarray((rng.rand(b, l, 2) * 50).astype(np.float32))
+
+    got = attention_expectation(q, k, v, block_q=256, interpret=True)
+    want = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4)
+
+
+def test_attention_expectation_grid_values(rng):
+    """v = coordinate grid (the global-correlation use case)."""
+    b, l, c = 1, 512, 64
+    q = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
+    grid = jnp.broadcast_to(jnp.arange(l, dtype=jnp.float32)[None, :, None], (b, l, 2))
+
+    got = attention_expectation(q, k, grid, block_q=256, interpret=True)
+    want = _reference(q, k, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)

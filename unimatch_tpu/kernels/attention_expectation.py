@@ -29,16 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_SCORE_BYTES = 12 * 1024 * 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, l_real: int, scale: float):
+def _kernel(q_ref, kt_ref, v_ref, o_ref, *, l_real: int, scale: float):
     q = q_ref[0]  # [BQ, C]
-    k = k_ref[0]  # [Lp, C]
+    kt = kt_ref[0]  # [C, Lp] (pre-transposed outside: natural MXU layout)
     v = v_ref[0]  # [Lp, Vp]
 
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, Lp] fp32
 
-    lp = k.shape[0]
+    lp = kt.shape[1]
     if lp != l_real:  # mask padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < l_real, scores, -jnp.inf)
@@ -61,9 +61,9 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          block_q: int = 256) -> jnp.ndarray:
+                          block_q: int = 512, interpret: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(C)) v  — fused, fp32 softmax.
 
     q, k: [B, L, C]; v: [B, L, V] (V small). Returns [B, Lq, V] float32.
@@ -74,7 +74,8 @@ def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = 1.0 / (c**0.5)
 
     # VMEM feasibility: fall back to plain jnp when the target axis is huge
-    if block_q * ((lk + 511) // 512 * 512) * 4 > _MAX_SCORE_BYTES or jax.default_backend() == "cpu":
+    too_big = block_q * ((lk + 511) // 512 * 512) * 4 > _MAX_SCORE_BYTES
+    if too_big or (jax.default_backend() == "cpu" and not interpret):
         scores = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) * scale
         prob = jax.nn.softmax(scores, axis=-1)
         return jnp.einsum("blm,bmv->blv", prob, v.astype(jnp.float32))
@@ -84,7 +85,7 @@ def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v_p = max(128, -(-vdim // 128) * 128)
 
     qp = _pad_to(q, lq_p, 1)
-    kp = _pad_to(k, lk_p, 1)
+    ktp = jnp.swapaxes(_pad_to(k, lk_p, 1), 1, 2)  # [B, C, Lkp]
     vp = _pad_to(_pad_to(v, lk_p, 1), v_p, 2)
 
     out = pl.pallas_call(
@@ -92,11 +93,12 @@ def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         grid=(b, lq_p // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, lk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_p, v_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, v_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq_p, v_p), jnp.float32),
-    )(qp, kp, vp)
+        interpret=interpret,
+    )(qp, ktp, vp)
 
     return out[:, :lq, :vdim]

