@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from unimatch_tpu.models.layers import conv2d, gelu_exact
-from unimatch_tpu.models.vit_fpn import ConvTranspose2x
+from unimatch_tpu.models.vit_fpn import ConvTransposeK
 from unimatch_tpu.ops.geometry import resize_bilinear_align_corners
 
 
@@ -87,10 +87,9 @@ class DPTHead(nn.Module):
         for i, x in enumerate(out_features):
             x = conv2d(oc[i], 1, name=f"project_{i}")(x)
             if i == 0:
-                x = ConvTranspose2x(oc[0], name="resize_0a")(x)
-                x = ConvTranspose2x(oc[0], name="resize_0b")(x)
+                x = ConvTransposeK(oc[0], k=4, name="resize_0")(x)
             elif i == 1:
-                x = ConvTranspose2x(oc[1], name="resize_1")(x)
+                x = ConvTransposeK(oc[1], k=2, name="resize_1")(x)
             elif i == 3:
                 x = conv2d(oc[3], 3, stride=2, padding=1, name="resize_3")(x)
             out.append(x)

@@ -16,29 +16,35 @@ import flax.linen as nn
 from unimatch_tpu.models.layers import conv2d, gelu_exact
 
 
-class ConvTranspose2x(nn.Module):
-    """2x2-stride-2 transposed conv (exact torch ConvTranspose2d semantics).
+class ConvTransposeK(nn.Module):
+    """KxK-stride-K transposed conv (exact torch ConvTranspose2d semantics).
 
     With kernel == stride there is no tap overlap: each input pixel expands
-    into a 2x2 block -> implement as matmul + depth-to-space (MXU-friendly,
+    into a KxK block -> implement as matmul + depth-to-space (MXU-friendly,
     avoids lax.conv_transpose which is slow on this runtime).
-    Param layout: kernel [2, 2, in, out] (converter maps torch [in, out, 2, 2]).
+    Param layout: kernel [K, K, in, out] (converter maps torch [in, out, K, K]).
     """
 
     features: int
+    k: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, cin = x.shape
+        k = self.k
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (2, 2, cin, self.features)
+            "kernel", nn.initializers.lecun_normal(), (k, k, cin, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        kmat = kernel.astype(x.dtype).transpose(2, 0, 1, 3).reshape(cin, 4 * self.features)
+        kmat = kernel.astype(x.dtype).transpose(2, 0, 1, 3).reshape(cin, k * k * self.features)
         y = jnp.einsum("bhwc,co->bhwo", x, kmat, preferred_element_type=jnp.float32)
-        y = y.reshape(b, h, w, 2, 2, self.features)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.features)
+        y = y.reshape(b, h, w, k, k, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, k * h, k * w, self.features)
         return (y + bias.astype(y.dtype)).astype(x.dtype)
+
+
+class ConvTranspose2x(ConvTransposeK):
+    k: int = 2
 
 
 class ViTFeaturePyramid(nn.Module):
