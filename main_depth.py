@@ -25,7 +25,107 @@ def get_args_parser():
     parser.add_argument("--inference_dir", default=None, type=str)
     parser.add_argument("--output_path", default="output", type=str)
     parser.add_argument("--depth_loss_weight", default=20.0, type=float)
+    # DepthSplat variant (mono ViT prior + cross-view UNet regressor)
+    parser.add_argument("--depthsplat_depth", action="store_true")
+    parser.add_argument("--vit_type", default="vits", type=str)
+    parser.add_argument("--lowest_feature_resolution", default=8, type=int)
     return parser
+
+
+def _build_depthsplat(args):
+    from unimatch_tpu.models.unimatch_depthsplat import DepthSplatConfig, UniMatchDepthSplat
+
+    cfg = DepthSplatConfig(
+        num_scales=args.num_scales,
+        feature_channels=args.feature_channels,
+        upsample_factor=args.upsample_factor,
+        ffn_dim_expansion=args.ffn_dim_expansion,
+        num_transformer_layers=args.num_transformer_layers,
+        num_depth_candidates=max(args.num_depth_candidates, 128),
+        vit_type=args.vit_type,
+    )
+    return UniMatchDepthSplat(config=cfg)
+
+
+def _run_depthsplat_inference(args):
+    """DepthSplat inference on a ScanNet-style directory."""
+    import glob
+    import os
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unimatch_tpu.ops.geometry import resize_bilinear_align_corners
+    from unimatch_tpu.utils import frame_utils
+
+    model = _build_depthsplat(args)
+
+    color_paths = sorted(
+        sum((glob.glob(os.path.join(args.inference_dir, "color", e)) for e in ("*.png", "*.jpg")), [])
+    )
+    pose_paths = sorted(glob.glob(os.path.join(args.inference_dir, "pose", "*.txt")))
+    K = np.loadtxt(os.path.join(args.inference_dir, "intrinsic", "intrinsic_depth.txt")).astype(
+        np.float32
+    )[:3, :3]
+    mean = jnp.asarray([0.485, 0.456, 0.406]) * 255
+    std = jnp.asarray([0.229, 0.224, 0.225]) * 255
+
+    os.makedirs(args.output_path, exist_ok=True)
+    variables = None
+    for i in range(len(color_paths) - 1):
+        img_ref = frame_utils.read_image(color_paths[i])
+        img_tgt = frame_utils.read_image(color_paths[i + 1])
+        pose_ref = np.loadtxt(pose_paths[i]).astype(np.float32)
+        pose_tgt = np.loadtxt(pose_paths[i + 1]).astype(np.float32)
+        pose_rel = np.linalg.inv(pose_tgt) @ pose_ref
+
+        h0, w0 = img_ref.shape[:2]
+        pf = args.padding_factor
+        h = int(round(h0 / pf)) * pf
+        w = int(round(w0 / pf)) * pf
+        Ks = K.copy()
+        Ks[0] *= w / w0
+        Ks[1] *= h / h0
+        ref_j = (resize_bilinear_align_corners(jnp.asarray(img_ref)[None], h, w) - mean) / std
+        tgt_j = (resize_bilinear_align_corners(jnp.asarray(img_tgt)[None], h, w) - mean) / std
+
+        if variables is None:
+            variables = model.init(
+                jax.random.PRNGKey(0), ref_j, tgt_j, jnp.asarray(Ks)[None],
+                jnp.asarray(pose_rel)[None], attn_splits_list=tuple(args.attn_splits_list),
+            )
+            if args.resume:
+                from unimatch_tpu import checkpoint as ckpt
+                from unimatch_tpu.convert_depthsplat import convert_depthsplat_state_dict
+
+                if args.resume.endswith((".pth", ".pt")):
+                    import torch
+
+                    raw = torch.load(args.resume, map_location="cpu", weights_only=False)
+                    state = raw.get("model", raw) if isinstance(raw, dict) else raw
+                    loaded = convert_depthsplat_state_dict(state)
+                else:
+                    loaded = ckpt.restore(args.resume)
+                    loaded = loaded.get("params", loaded)
+                merged = ckpt.merge_params(
+                    jax.device_get(variables["params"]), loaded, strict=args.strict_resume
+                )
+                variables = {"params": jax.tree.map(jnp.asarray, merged)}
+
+        depth = model.apply(
+            variables, ref_j, tgt_j, jnp.asarray(Ks)[None], jnp.asarray(pose_rel)[None],
+            attn_splits_list=tuple(args.attn_splits_list),
+            min_depth=1.0 / args.max_depth, max_depth=1.0 / args.min_depth,
+        )["flow_preds"][-1]
+
+        from unimatch_tpu.utils.visualization import viz_depth_tensor
+        from PIL import Image
+
+        base = os.path.join(args.output_path, os.path.splitext(os.path.basename(color_paths[i]))[0])
+        depth_np = np.asarray(depth[0], np.float32)  # forward view
+        Image.fromarray(viz_depth_tensor(depth_np)).save(base + "_depth.png")
+        np.save(base + "_depth.npy", depth_np)
 
 
 def _load_params(args, model, infer):
@@ -52,6 +152,11 @@ def _load_params(args, model, infer):
 
 
 def main(args):
+    if args.depthsplat_depth:
+        assert args.inference_dir, "depthsplat driver currently supports --inference_dir"
+        _run_depthsplat_inference(args)
+        return
+
     if args.inference_dir:
         from unimatch_tpu.inference import inference_depth
 

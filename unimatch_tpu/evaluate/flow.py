@@ -99,16 +99,29 @@ def validate_things(model, params, infer: InferenceConfig, root: str = "datasets
     return {f"{key}_epe": float(epe_all.mean())}
 
 
+def _in_image_mask(flow_gt: np.ndarray) -> np.ndarray:
+    """True where the flow target lands inside the image (reference
+    compute_out_of_boundary_mask, used for matched/unmatched metrics)."""
+    h, w, _ = flow_gt.shape
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    tx = xs + flow_gt[..., 0]
+    ty = ys + flow_gt[..., 1]
+    return (tx >= 0) & (tx <= w - 1) & (ty >= 0) & (ty <= h - 1)
+
+
 def validate_sintel(model, params, infer: InferenceConfig, root: str = "datasets/Sintel",
                     dstype: str = "clean", padding_factor: int = 8,
                     with_speed_metric: bool = True, count_time: bool = False,
+                    evaluate_matched_unmatched: bool = False,
                     inference_size: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
     from unimatch_tpu.data.flow_datasets import MpiSintel
 
-    ds = MpiSintel(aug_params=None, split="training", dstype=dstype, root=root)
+    ds = MpiSintel(aug_params=None, split="training", dstype=dstype, root=root,
+                   load_occlusion=evaluate_matched_unmatched)
     fwd = _jit_flow(model, infer)
 
     epe_list, s010, s1040, s40 = [], [], [], []
+    matched, unmatched = [], []
     total_time, num_timed = 0.0, 0
     for i in range(len(ds)):
         s = ds[i]
@@ -121,6 +134,11 @@ def validate_sintel(model, params, infer: InferenceConfig, root: str = "datasets
         gt = s["flow_gt"]
         epe = np.sqrt(((flow - gt) ** 2).sum(-1))
         epe_list.append(epe.reshape(-1))
+        if evaluate_matched_unmatched:
+            m = (s["noc_valid"] > 0.5) & _in_image_mask(gt)
+            if m.any():
+                matched.append(epe[m])
+                unmatched.append(epe[~m])
         if with_speed_metric:
             mag = np.sqrt((gt**2).sum(-1))
             if (mag < 10).any():
@@ -141,6 +159,9 @@ def validate_sintel(model, params, infer: InferenceConfig, root: str = "datasets
         out[f"sintel_{dstype}_s0_10"] = float(np.concatenate(s010).mean()) if s010 else 0.0
         out[f"sintel_{dstype}_s10_40"] = float(np.concatenate(s1040).mean()) if s1040 else 0.0
         out[f"sintel_{dstype}_s40+"] = float(np.concatenate(s40).mean()) if s40 else 0.0
+    if evaluate_matched_unmatched and matched:
+        out[f"sintel_{dstype}_matched_epe"] = float(np.concatenate(matched).mean())
+        out[f"sintel_{dstype}_unmatched_epe"] = float(np.concatenate(unmatched).mean())
     if count_time and num_timed:
         out["time_per_pair_ms"] = 1000.0 * total_time / num_timed
     return out
