@@ -35,3 +35,34 @@ def test_attention_expectation_grid_values(rng):
     got = attention_expectation(q, k, grid, block_q=256, interpret=True)
     want = _reference(q, k, grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)
+
+
+def test_window_attention_matches_reference(rng):
+    from unimatch_tpu.kernels.window_attention import window_attention
+
+    n, l, c = 8, 300, 128  # l not a multiple of block sizes
+    q = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+
+    got = window_attention(q, k, v, interpret=True)
+    scores = jnp.einsum("nlc,nmc->nlm", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+    want = jnp.einsum("nlm,nmc->nlc", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_window_attention_with_bias(rng):
+    from unimatch_tpu.kernels.window_attention import window_attention
+
+    nw, l, c = 4, 256, 128
+    n = 2 * nw  # two batches of nw windows
+    q = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.rand(nw, l, l) > 0.5, 0.0, -100.0).astype(np.float32))
+
+    got = window_attention(q, k, v, bias=mask, interpret=True)
+    scores = jnp.einsum("nlc,nmc->nlm", q, k, preferred_element_type=jnp.float32) / np.sqrt(c)
+    scores = scores + jnp.tile(mask, (2, 1, 1))
+    want = jnp.einsum("nlm,nmc->nlc", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

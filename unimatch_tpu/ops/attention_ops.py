@@ -40,9 +40,25 @@ def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: Optional[jnp.nda
     return jnp.einsum("...lm,...mc->...lc", attn.astype(v.dtype), v)
 
 
+def _fused_window_attention(qs, ks, vs, mask: Optional[jnp.ndarray]):
+    """Dispatch [N, L, C] windowed attention to the Pallas kernel when
+    profitable (TPU, L large enough to beat dispatch overheads)."""
+    from unimatch_tpu.kernels import use_pallas
+
+    n, l, c = qs.shape
+    if use_pallas() and l >= 256 and c % 128 == 0:
+        from unimatch_tpu.kernels.window_attention import window_attention
+
+        return window_attention(qs, ks, vs, bias=mask)
+    bias = None
+    if mask is not None:
+        bias = jnp.tile(mask, (n // mask.shape[0], 1, 1))
+    return _sdpa(qs, ks, vs, bias=bias)
+
+
 def full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """[B, L, C] full 2D attention. Reference attention.py:8-16."""
-    return _sdpa(q, k, v)
+    return _fused_window_attention(q, k, v, None)
 
 
 def full_attention_1d(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -82,14 +98,15 @@ def split_window_attention(
         kr = jnp.roll(kr, shift=(-sh, -sw), axis=(1, 2))
         vr = jnp.roll(vr, shift=(-sh, -sw), axis=(1, 2))
 
-    qs = W.split_feature(qr, num_splits).reshape(b, num_splits * num_splits, ws_h * ws_w, c)
-    ks = W.split_feature(kr, num_splits).reshape(b, num_splits * num_splits, ws_h * ws_w, c)
-    vs = W.split_feature(vr, num_splits).reshape(b, num_splits * num_splits, ws_h * ws_w, c)
+    nw = num_splits * num_splits
+    lw = ws_h * ws_w
+    qs = W.split_feature(qr, num_splits).reshape(b * nw, lw, c)
+    ks = W.split_feature(kr, num_splits).reshape(b * nw, lw, c)
+    vs = W.split_feature(vr, num_splits).reshape(b * nw, lw, c)
 
-    bias = attn_mask[None] if with_shift else None  # [1, K*K, L, L]
-    out = _sdpa(qs, ks, vs, bias=bias)
+    out = _fused_window_attention(qs, ks, vs, attn_mask if with_shift else None)
 
-    out = W.merge_splits(out.reshape(b * num_splits * num_splits, ws_h, ws_w, c), num_splits)
+    out = W.merge_splits(out.reshape(b * nw, ws_h, ws_w, c), num_splits)
     if with_shift:
         out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
     return out.reshape(b, l, c)
