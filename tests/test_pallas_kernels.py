@@ -69,26 +69,16 @@ def test_window_attention_with_bias(rng):
 
 
 def test_corr_window_kernel_matches_reference(rng):
-    from unimatch_tpu.kernels.corr_window import corr_window_pallas
+    from unimatch_tpu.kernels.corr_window import corr_window_pallas, prepare_inputs
     from unimatch_tpu.ops.correlation import local_correlation_with_flow
 
-    b, h, w, c, r = 1, 12, 16, 128, 4
-    k = 2 * r + 1
-    kk = k + 1
+    b, h, w, c, r = 1, 16, 16, 128, 4
     f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
     f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
     fl = jnp.asarray((rng.randn(b, h, w, 2) * 3).astype(np.float32))
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    fx = xs[None] + fl[..., 0]
-    fy = ys[None] + fl[..., 1]
-    bx, by = jnp.floor(fx), jnp.floor(fy)
-    f1p = jnp.pad(f1, ((0, 0), (kk, kk), (kk, kk), (0, 0)))
-    iy0 = jnp.clip(by - r + kk, 0, h + 2 * kk - kk)
-    ix0 = jnp.clip(bx - r + kk, 0, w + 2 * kk - kk)
-
-    got = corr_window_pallas(f0, f1p, iy0, ix0, fx - bx, fy - by, r=r, interpret=True)
+    f1p, iy0, ix0, wx1, wy1 = prepare_inputs(f1, fl, r)
+    got = corr_window_pallas(f0, f1p, iy0, ix0, wx1, wy1, r=r, interpret=True)
     got = got / np.sqrt(c)
     ref = local_correlation_with_flow(f0, f1, fl, r)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)

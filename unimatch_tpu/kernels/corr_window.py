@@ -5,11 +5,17 @@ corr[p, n] = <f0[p], bilinear(f1, p + flow[p] + n)> for integer offsets n in a
 flagship). The jnp path gathers the (2R+2)^2 unique bilinear footprint per
 pixel from HBM (~740 MB of scattered reads per call at Sintel 1/4 scale);
 this kernel keeps the zero-padded f1 resident in VMEM and reads each pixel's
-contiguous footprint with dynamic slices, reducing channels on the spot.
+footprint with dynamic slices, reducing channels on the spot.
 
-Grid: (B, H). Per step: one image row. Requires the padded f1 to fit VMEM
-(~9.3 MB at 1/4-scale Sintel in bf16); callers fall back to the jnp path
-otherwise (unimatch_tpu.ops.correlation.local_correlation_with_flow).
+Mosaic constraints shape the design:
+  * dynamic sublane (W-axis) offsets must be 8-aligned -> slice an aligned
+    24-wide band and select the 10 wanted columns with a branchless
+    iota-comparison matmul;
+  * sublane writes must be 8-aligned -> pixels are processed in groups of 8
+    and written as one [8, 128] tile.
+
+Grid: (B, H/8) — 8 image rows per step. Requires padded f1 in VMEM (~9.3 MB
+at 1/4-scale Sintel bf16); callers fall back to the jnp path otherwise.
 """
 
 from __future__ import annotations
@@ -22,6 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _MAX_F1_VMEM_BYTES = 10 * 1024 * 1024
+_ROWS = 8  # image rows per grid step
+_BAND = 24  # aligned W-band width covering base..base+7+10
 
 
 def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_ref, o_ref, *, r: int):
@@ -29,17 +37,27 @@ def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_ref, o_ref, *, r: int):
     kk = k + 1
     w = f0_ref.shape[2]
 
-    def body(px, _):
-        iy0 = iy_ref[0, 0, px]
-        ix0 = ix_ref[0, 0, px]
-        patch = f1_ref[0, pl.ds(iy0, kk), pl.ds(ix0, kk), :]  # [kk, kk, C]
-        f0v = f0_ref[0, 0, px, :]  # [C]
-        cp = jnp.sum(
-            patch.astype(jnp.float32) * f0v.astype(jnp.float32)[None, None, :], axis=-1
-        )  # [kk, kk] fp32
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 16), 0)
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 16), 1)
 
-        wx1 = wx_ref[0, 0, px]
-        wy1 = wy_ref[0, 0, px]
+    def pixel_corr(row, px):
+        iy0 = iy_ref[0, row, px]
+        ix0 = ix_ref[0, row, px]
+        ix_base = pl.multiple_of((ix0 // 8) * 8, 8)
+        rem = ix0 - ix_base
+
+        patch = f1_ref[0, pl.ds(iy0, kk), pl.ds(ix_base, _BAND), :]  # [kk, 24, C]
+        f0v = f0_ref[0, row, px, :].astype(jnp.float32)  # [C]
+        cp24 = jnp.sum(patch.astype(jnp.float32) * f0v[None, None, :], axis=-1)  # [kk, 24]
+
+        # branchless dynamic column selection: S[m, j] = (m == rem + j)
+        sel = (col_iota == (sel_iota + rem)).astype(jnp.float32)  # [24, 16]
+        cp = jax.lax.dot_general(
+            cp24, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [kk, 16], cols 0..kk-1 = cp24[:, rem:rem+kk]
+
+        wx1 = wx_ref[0, row, px]
+        wy1 = wy_ref[0, row, px]
         c00 = cp[0:k, 0:k]
         c01 = cp[0:k, 1 : k + 1]
         c10 = cp[1 : k + 1, 0:k]
@@ -50,17 +68,24 @@ def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_ref, o_ref, *, r: int):
             + c10 * wy1 * (1 - wx1)
             + c11 * wy1 * wx1
         )  # [k, k]
-        out = jnp.pad(corr.reshape(1, k * k), ((0, 0), (0, 128 - k * k)))
-        o_ref[0, 0, pl.ds(px, 1), :] = out
+        return jnp.pad(corr.reshape(1, k * k), ((0, 0), (0, 128 - k * k)))
+
+    def body(i, _):
+        row = i // (w // 8)
+        g = i % (w // 8)
+        rows = [pixel_corr(row, 8 * g + gi) for gi in range(8)]
+        o_ref[0, pl.ds(row, 1), pl.ds(pl.multiple_of(8 * g, 8), 8), :] = jnp.concatenate(
+            rows, axis=0
+        )[None]
         return 0
 
-    jax.lax.fori_loop(0, w, body, 0)
+    jax.lax.fori_loop(0, _ROWS * (w // 8), body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def corr_window_pallas(
     f0: jnp.ndarray,  # [B, H, W, C]
-    f1_padded: jnp.ndarray,  # [B, H+2P, W+2P, C], P = 2R+2 zero pad
+    f1_padded: jnp.ndarray,  # [B, H+2P, W+2P+16, C], P = 2R+2 zero pad (+16 W slack)
     iy0: jnp.ndarray,  # [B, H, W] int32 clamped slice starts (padded coords)
     ix0: jnp.ndarray,
     wx1: jnp.ndarray,  # [B, H, W] fp32 bilinear fractions
@@ -70,20 +95,23 @@ def corr_window_pallas(
 ) -> jnp.ndarray:
     b, h, w, c = f0.shape
     k = 2 * r + 1
+    assert h % _ROWS == 0 and w % 8 == 0, "pad H, W to multiples of 8 before calling"
     out = pl.pallas_call(
         functools.partial(_kernel, r=r),
-        grid=(b, h),
+        grid=(b, h // _ROWS),
         in_specs=[
-            pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _ROWS, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1,) + f1_padded.shape[1:], lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((1, 1, w, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, _ROWS, w, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, 128), jnp.float32),
         interpret=interpret,
     )(
@@ -97,6 +125,25 @@ def corr_window_pallas(
     return out[..., : k * k]
 
 
-def fits_vmem(f1_shape, dtype_bytes: int = 2) -> bool:
-    _, hp, wp, c = (0,) + tuple(f1_shape[1:]) if len(f1_shape) == 4 else f1_shape
-    return f1_shape[1] * f1_shape[2] * f1_shape[3] * dtype_bytes <= _MAX_F1_VMEM_BYTES
+def prepare_inputs(f1: jnp.ndarray, flow: jnp.ndarray, r: int = 4):
+    """Zero-pad f1 and compute clamped slice starts + bilinear fractions."""
+    b, h, w, _ = f1.shape
+    k = 2 * r + 1
+    kk = k + 1
+    p = kk
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    fx = xs[None] + flow[..., 0].astype(jnp.float32)
+    fy = ys[None] + flow[..., 1].astype(jnp.float32)
+    bx = jnp.floor(fx)
+    by = jnp.floor(fy)
+    # extra 16 columns of slack on the right for the aligned 24-wide band
+    f1p = jnp.pad(f1, ((0, 0), (p, p), (p, p + 16), (0, 0)))
+    iy0 = jnp.clip(by - r + p, 0, h + 2 * p - kk)
+    ix0 = jnp.clip(bx - r + p, 0, w + 2 * p - kk)
+    return f1p, iy0, ix0, fx - bx, fy - by
+
+
+def fits_vmem(f1_padded_shape, dtype_bytes: int = 2) -> bool:
+    _, hp, wp, c = f1_padded_shape
+    return hp * wp * c * dtype_bytes <= _MAX_F1_VMEM_BYTES
