@@ -32,7 +32,7 @@ _ROWS = 8  # image rows per grid step
 _BAND = 24  # aligned W-band width covering base..base+7+10
 
 
-def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_ref, o_ref, *, r: int):
+def _kernel(f0_ref, iy_ref, ix_ref, f1_ref, o_ref, *, r: int):
     k = 2 * r + 1
     kk = k + 1
     w = f0_ref.shape[2]
@@ -40,7 +40,9 @@ def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_ref, o_ref, *, r: int):
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 16), 0)
     sel_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 16), 1)
 
-    def pixel_corr(row, px):
+    def body(i, _):
+        row = i // w
+        px = i % w
         iy0 = iy_ref[0, row, px]
         ix0 = ix_ref[0, row, px]
         ix_base = pl.multiple_of((ix0 // 8) * 8, 8)
@@ -56,30 +58,13 @@ def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_ref, o_ref, *, r: int):
             cp24, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [kk, 16], cols 0..kk-1 = cp24[:, rem:rem+kk]
 
-        wx1 = wx_ref[0, row, px]
-        wy1 = wy_ref[0, row, px]
-        c00 = cp[0:k, 0:k]
-        c01 = cp[0:k, 1 : k + 1]
-        c10 = cp[1 : k + 1, 0:k]
-        c11 = cp[1 : k + 1, 1 : k + 1]
-        corr = (
-            c00 * (1 - wy1) * (1 - wx1)
-            + c01 * (1 - wy1) * wx1
-            + c10 * wy1 * (1 - wx1)
-            + c11 * wy1 * wx1
-        )  # [k, k]
-        return jnp.pad(corr.reshape(1, k * k), ((0, 0), (0, 128 - k * k)))
-
-    def body(i, _):
-        row = i // (w // 8)
-        g = i % (w // 8)
-        rows = [pixel_corr(row, 8 * g + gi) for gi in range(8)]
-        o_ref[0, pl.ds(row, 1), pl.ds(pl.multiple_of(8 * g, 8), 8), :] = jnp.concatenate(
-            rows, axis=0
-        )[None]
+        # bilinear blend and flattening happen outside (XLA) — the kernel
+        # emits the selected footprint patch with full trailing dims, which
+        # keeps every in-kernel shape Mosaic-legal (no shape casts).
+        o_ref[0, row, px] = cp
         return 0
 
-    jax.lax.fori_loop(0, _ROWS * (w // 8), body, 0)
+    jax.lax.fori_loop(0, _ROWS * w, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
@@ -95,14 +80,13 @@ def corr_window_pallas(
 ) -> jnp.ndarray:
     b, h, w, c = f0.shape
     k = 2 * r + 1
-    assert h % _ROWS == 0 and w % 8 == 0, "pad H, W to multiples of 8 before calling"
-    out = pl.pallas_call(
+    kk = k + 1
+    assert h % _ROWS == 0, "pad H to a multiple of 8 before calling"
+    cp = pl.pallas_call(
         functools.partial(_kernel, r=r),
         grid=(b, h // _ROWS),
         in_specs=[
             pl.BlockSpec((1, _ROWS, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -110,19 +94,30 @@ def corr_window_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _ROWS, w, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, _ROWS, w, kk, 16), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, kk, 16), jnp.float32),
         interpret=interpret,
     )(
         f0,
         iy0.astype(jnp.int32),
         ix0.astype(jnp.int32),
-        wx1.astype(jnp.float32),
-        wy1.astype(jnp.float32),
         f1_padded,
     )
-    return out[..., : k * k]
+    # bilinear blend of the 4 corners (XLA elementwise pass over the patches)
+    wx1 = wx1.astype(jnp.float32)[..., None, None]
+    wy1 = wy1.astype(jnp.float32)[..., None, None]
+    c00 = cp[..., 0:k, 0:k]
+    c01 = cp[..., 0:k, 1 : k + 1]
+    c10 = cp[..., 1 : k + 1, 0:k]
+    c11 = cp[..., 1 : k + 1, 1 : k + 1]
+    corr = (
+        c00 * (1 - wy1) * (1 - wx1)
+        + c01 * (1 - wy1) * wx1
+        + c10 * wy1 * (1 - wx1)
+        + c11 * wy1 * wx1
+    )
+    return corr.reshape(b, h, w, k * k)
 
 
 def prepare_inputs(f1: jnp.ndarray, flow: jnp.ndarray, r: int = 4):
