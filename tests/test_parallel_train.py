@@ -75,3 +75,31 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tensor_parallel_ffn_sharding(rng):
+    """2D (data x model) mesh: FFN hidden dim sharded, forward matches replicated."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unimatch_tpu.parallel.shardings import make_mesh_2d, shard_params
+
+    cfg = ModelConfig(task="flow", num_scales=1)
+    infer = InferenceConfig(attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,))
+    model = UniMatch(config=cfg)
+    img = jnp.asarray((rng.rand(4, 32, 48, 3) * 255).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, img, infer=infer)
+
+    ref = model.apply(variables, img, img, infer=infer)["flow_preds"][-1]
+
+    mesh = make_mesh_2d(4, 2)
+    with mesh:
+        sharded = {"params": shard_params(mesh, variables["params"])}
+        img_s = jax.device_put(img, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def fwd(v, a, b):
+            return model.apply(v, a, b, infer=infer)["flow_preds"][-1]
+
+        out = fwd(sharded, img_s, img_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

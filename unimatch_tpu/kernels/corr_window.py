@@ -32,39 +32,73 @@ _ROWS = 8  # image rows per grid step
 _BAND = 24  # aligned W-band width covering base..base+7+10
 
 
-def _kernel(f0_ref, iy_ref, ix_ref, f1_ref, o_ref, *, r: int):
+def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_hbm, o_ref, f1_vmem, dma_sem, *, r: int):
     k = 2 * r + 1
     kk = k + 1
     w = f0_ref.shape[2]
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 16), 0)
-    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 16), 1)
+    # copy f1 into the persistent VMEM scratch once per batch item
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dma = pltpu.make_async_copy(f1_hbm.at[0], f1_vmem, dma_sem)
+        dma.start()
+        dma.wait()
+
+    # constant index maps for the fused select+blend matrices:
+    #   out lane n encodes window tap (dy, dx) = (n // k, n % k) for n < k*k
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 128), 0)
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 128), 1)
+    dx_map = n_iota % k
+    dy_map = n_iota // k  # valid for n < k*k; lanes >= k*k masked below
+    lane_valid = (n_iota < k * k)
 
     def body(i, _):
-        row = i // w
-        px = i % w
-        iy0 = iy_ref[0, row, px]
-        ix0 = ix_ref[0, row, px]
-        ix_base = pl.multiple_of((ix0 // 8) * 8, 8)
-        rem = ix0 - ix_base
+        row = i // (w // 8)
+        g = i % (w // 8)
+        f0blk = f0_ref[0, row, pl.ds(pl.multiple_of(8 * g, 8), 8), :].astype(jnp.float32)
 
-        patch = f1_ref[0, pl.ds(iy0, kk), pl.ds(ix_base, _BAND), :]  # [kk, 24, C]
-        f0v = f0_ref[0, row, px, :].astype(jnp.float32)  # [C]
-        cp24 = jnp.sum(patch.astype(jnp.float32) * f0v[None, None, :], axis=-1)  # [kk, 24]
+        group_rows = []
+        for gi in range(8):  # static unroll within the aligned group
+            px = 8 * g + gi
+            iy0 = iy_ref[0, row, px]
+            ix0 = ix_ref[0, row, px]
+            ix_base = pl.multiple_of((ix0 // 8) * 8, 8)
+            rem = ix0 - ix_base
+            wx1 = wx_ref[0, row, px]
+            wy1 = wy_ref[0, row, px]
 
-        # branchless dynamic column selection: S[m, j] = (m == rem + j)
-        sel = (col_iota == (sel_iota + rem)).astype(jnp.float32)  # [24, 16]
-        cp = jax.lax.dot_general(
-            cp24, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [kk, 16], cols 0..kk-1 = cp24[:, rem:rem+kk]
+            patch = f1_vmem[pl.ds(iy0, kk), pl.ds(ix_base, _BAND), :]  # [kk, 24, C]
+            f0v = f0blk[gi]  # [C], static sublane index
+            cp24 = jnp.sum(
+                patch.astype(jnp.float32) * f0v[None, None, :], axis=-1
+            )  # [kk, 24]
 
-        # bilinear blend and flattening happen outside (XLA) — the kernel
-        # emits the selected footprint patch with full trailing dims, which
-        # keeps every in-kernel shape Mosaic-legal (no shape casts).
-        o_ref[0, row, px] = cp
+            # fused dynamic-column selection + bilinear x-blend:
+            #   blendS[m, n] = wx0 * (m == rem + dx) + wx1 * (m == rem + dx + 1)
+            s0 = (m_iota == (dx_map + rem)) & lane_valid
+            s1 = (m_iota == (dx_map + rem + 1)) & lane_valid
+            blend_s = (1.0 - wx1) * s0.astype(jnp.float32) + wx1 * s1.astype(jnp.float32)
+
+            # y-blend folded per patch row a: row a serves taps dy == a (w 1-wy1)
+            # and dy == a-1 (w wy1); accumulate flat = sum_a cp24[a] @ M_a
+            flat = None
+            for a in range(kk):
+                row_w = (1.0 - wy1) * (dy_map == a).astype(jnp.float32) + wy1 * (
+                    dy_map == a - 1
+                ).astype(jnp.float32)
+                m_a = blend_s * row_w  # [24, 128]
+                part = jax.lax.dot_general(
+                    cp24[a : a + 1, :], m_a, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [1, 128]
+                flat = part if flat is None else flat + part
+            group_rows.append(flat)
+
+        tile = jnp.concatenate(group_rows, axis=0).astype(o_ref.dtype)  # [8, 128]
+        o_ref[0, pl.ds(row, 1), pl.ds(pl.multiple_of(8 * g, 8), 8), :] = tile[None]
         return 0
 
-    jax.lax.fori_loop(0, _ROWS * w, body, 0)
+    jax.lax.fori_loop(0, _ROWS * (w // 8), body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
@@ -80,44 +114,36 @@ def corr_window_pallas(
 ) -> jnp.ndarray:
     b, h, w, c = f0.shape
     k = 2 * r + 1
-    kk = k + 1
-    assert h % _ROWS == 0, "pad H to a multiple of 8 before calling"
-    cp = pl.pallas_call(
+    assert h % _ROWS == 0 and w % 8 == 0, "pad H, W to multiples of 8 before calling"
+    out = pl.pallas_call(
         functools.partial(_kernel, r=r),
         grid=(b, h // _ROWS),
         in_specs=[
             pl.BlockSpec((1, _ROWS, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1,) + f1_padded.shape[1:], lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _ROWS, w), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # f1 stays in HBM, DMA'd once
         ],
         out_specs=pl.BlockSpec(
-            (1, _ROWS, w, kk, 16), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, _ROWS, w, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, kk, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(f1_padded.shape[1:], f1_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(
         f0,
         iy0.astype(jnp.int32),
         ix0.astype(jnp.int32),
+        wx1.astype(jnp.float32),
+        wy1.astype(jnp.float32),
         f1_padded,
     )
-    # bilinear blend of the 4 corners (XLA elementwise pass over the patches)
-    wx1 = wx1.astype(jnp.float32)[..., None, None]
-    wy1 = wy1.astype(jnp.float32)[..., None, None]
-    c00 = cp[..., 0:k, 0:k]
-    c01 = cp[..., 0:k, 1 : k + 1]
-    c10 = cp[..., 1 : k + 1, 0:k]
-    c11 = cp[..., 1 : k + 1, 1 : k + 1]
-    corr = (
-        c00 * (1 - wy1) * (1 - wx1)
-        + c01 * (1 - wy1) * wx1
-        + c10 * wy1 * (1 - wx1)
-        + c11 * wy1 * wx1
-    )
-    return corr.reshape(b, h, w, k * k)
+    return out[..., : k * k]
 
 
 def prepare_inputs(f1: jnp.ndarray, flow: jnp.ndarray, r: int = 4):
