@@ -49,8 +49,13 @@ def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_hbm, o_ref, f1_vmem, dma_
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 128), 0)
     n_iota = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 128), 1)
     dx_map = n_iota % k
-    dy_map = n_iota // k  # valid for n < k*k; lanes >= k*k masked below
     lane_valid = (n_iota < k * k)
+
+    # constant [kk, 128] row-selection masks for the y-blend
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (kk, 128), 0)
+    ndy = jax.lax.broadcasted_iota(jnp.int32, (kk, 128), 1) // k
+    wy0_const = (ndy == a_iota).astype(jnp.float32)
+    wy1_const = (ndy == (a_iota - 1)).astype(jnp.float32)
 
     def body(i, _):
         row = i // (w // 8)
@@ -79,19 +84,15 @@ def _kernel(f0_ref, iy_ref, ix_ref, wx_ref, wy_ref, f1_hbm, o_ref, f1_vmem, dma_
             s1 = (m_iota == (dx_map + rem + 1)) & lane_valid
             blend_s = (1.0 - wx1) * s0.astype(jnp.float32) + wx1 * s1.astype(jnp.float32)
 
-            # y-blend folded per patch row a: row a serves taps dy == a (w 1-wy1)
-            # and dy == a-1 (w wy1); accumulate flat = sum_a cp24[a] @ M_a
-            flat = None
-            for a in range(kk):
-                row_w = (1.0 - wy1) * (dy_map == a).astype(jnp.float32) + wy1 * (
-                    dy_map == a - 1
-                ).astype(jnp.float32)
-                m_a = blend_s * row_w  # [24, 128]
-                part = jax.lax.dot_general(
-                    cp24[a : a + 1, :], m_a, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [1, 128]
-                flat = part if flat is None else flat + part
+            # y-blend folded into a constant row-selection matrix:
+            #   DY[a, n] = wy0 * (dy(n) == a) + wy1 * (dy(n) == a - 1)
+            dy_sel = wy0_const * (1.0 - wy1) + wy1_const * wy1  # [kk, 128]
+
+            # flat[n] = sum_m blendS[m, n] * (sum_a cp24[a, m] * DY[a, n])
+            cp_y = jax.lax.dot_general(
+                cp24, dy_sel, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [24, 128]
+            flat = jnp.sum(blend_s * cp_y, axis=0, keepdims=True)  # [1, 128]
             group_rows.append(flat)
 
         tile = jnp.concatenate(group_rows, axis=0).astype(o_ref.dtype)  # [8, 128]
@@ -158,8 +159,11 @@ def prepare_inputs(f1: jnp.ndarray, flow: jnp.ndarray, r: int = 4):
     fy = ys[None] + flow[..., 1].astype(jnp.float32)
     bx = jnp.floor(fx)
     by = jnp.floor(fy)
-    # extra 16 columns of slack on the right for the aligned 24-wide band
-    f1p = jnp.pad(f1, ((0, 0), (p, p), (p, p + 16), (0, 0)))
+    # extra right slack for the aligned 24-wide band; total padded width is
+    # rounded to a multiple of 8 (DMA slice alignment)
+    wp_total = w + 2 * p + 16
+    wp_total = -(-wp_total // 8) * 8
+    f1p = jnp.pad(f1, ((0, 0), (p, p), (p, wp_total - w - p), (0, 0)))
     iy0 = jnp.clip(by - r + p, 0, h + 2 * p - kk)
     ix0 = jnp.clip(bx - r + p, 0, w + 2 * p - kk)
     return f1p, iy0, ix0, fx - bx, fy - by
