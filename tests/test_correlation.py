@@ -125,3 +125,21 @@ def test_correlation_softmax_depth(rng, bidir):
         depth_candidates=torch.from_numpy(cand), pred_bidir_depth=bidir,
     )
     np.testing.assert_allclose(np.asarray(depth), nhwc(ref_depth), rtol=1e-3, atol=1e-4)
+
+
+def test_volume_lookup_matches_feature_gather(rng):
+    """Precomputed-volume refinement lookup == direct feature gather."""
+    import jax.numpy as jnp2
+
+    b, h, w, c = 1, 10, 12, 32
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    flow = (rng.randn(b, h, w, 2) * 2.5).astype(np.float32)
+
+    direct = C.local_correlation_with_flow(
+        jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(flow), 4
+    )
+    vol = C.build_full_correlation_volume(jnp.asarray(f0), jnp.asarray(f1)).astype(jnp.float32)
+    via_volume = C.local_correlation_with_flow_from_volume(vol, jnp.asarray(flow), h, w, 4)
+    # volume is stored bf16 -> ~1e-2 relative tolerance
+    np.testing.assert_allclose(np.asarray(via_volume), np.asarray(direct), rtol=2e-2, atol=2e-2)

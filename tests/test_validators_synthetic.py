@@ -1,0 +1,70 @@
+"""End-to-end validators on tiny synthetic dataset trees (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from unimatch_tpu.config import InferenceConfig, ModelConfig
+from unimatch_tpu.models.unimatch import UniMatch
+from unimatch_tpu.utils import frame_utils
+
+from test_data_pipeline import _make_sintel, _make_kitti
+
+
+def _flow_model():
+    cfg = ModelConfig(task="flow", num_scales=1)
+    infer = InferenceConfig(attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,))
+    model = UniMatch(config=cfg)
+    import jax.numpy as jnp
+
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, img, infer=infer)
+    return model, params, infer
+
+
+def test_validate_sintel_synthetic(tmp_path):
+    from unimatch_tpu.evaluate.flow import validate_sintel
+
+    root = str(tmp_path / "Sintel")
+    _make_sintel(root, scenes=1, frames=3)
+    model, params, infer = _flow_model()
+    out = validate_sintel(model, params, infer, root=root, padding_factor=16,
+                          with_speed_metric=True)
+    assert "sintel_clean_epe" in out and np.isfinite(out["sintel_clean_epe"])
+
+
+def test_validate_kitti_synthetic(tmp_path):
+    from unimatch_tpu.evaluate.flow import validate_kitti
+
+    root = str(tmp_path / "KITTI")
+    _make_kitti(root, n=2)
+    model, params, infer = _flow_model()
+    out = validate_kitti(model, params, infer, root=root, padding_factor=16)
+    assert np.isfinite(out["kitti_epe"]) and np.isfinite(out["kitti_f1"])
+
+
+def test_sintel_submission_synthetic(tmp_path):
+    from unimatch_tpu.evaluate.flow import create_sintel_submission
+
+    root = str(tmp_path / "Sintel")
+    # submission reads the *test* split
+    rng = np.random.RandomState(0)
+    for dstype in ("clean", "final"):
+        d = os.path.join(root, "test", dstype, "scene_x")
+        os.makedirs(d, exist_ok=True)
+        for f in range(3):
+            Image.fromarray((rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+                os.path.join(d, f"frame_{f:04d}.png")
+            )
+    model, params, infer = _flow_model()
+    out_dir = str(tmp_path / "submission")
+    create_sintel_submission(model, params, infer, root=root, output_path=out_dir,
+                             padding_factor=16)
+    flo = os.path.join(out_dir, "clean", "scene_x", "frame0001.flo")
+    assert os.path.isfile(flo)
+    flow = frame_utils.read_flo(flo)
+    assert flow.shape == (64, 96, 2)

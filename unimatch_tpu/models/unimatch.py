@@ -284,14 +284,41 @@ class UniMatch(nn.Module):
                         )
 
                     assert infer.num_reg_refine > 0
+
+                    # RAFT-style volume trade: with >1 refine iteration and a
+                    # volume that fits HBM, precompute all-pairs correlation
+                    # once and look up scalars per iteration (inference-scale
+                    # batches; training and CPU parity keep the exact
+                    # feature-gather path).
+                    from unimatch_tpu.kernels import use_pallas
+
+                    b_r, h_r, w_r, _ = feature0_ori.shape
+                    corr_volume = None
+                    if (
+                        use_pallas()
+                        and not training
+                        and infer.num_reg_refine > 1
+                        and C.volume_fits_budget(b_r, h_r, w_r)
+                    ):
+                        corr_volume = C.build_full_correlation_volume(
+                            feature0_ori, feature1_ori
+                        )
+
+                    def _refine_corr(lookup_flow):
+                        if corr_volume is not None:
+                            return C.local_correlation_with_flow_from_volume(
+                                corr_volume, lookup_flow, h_r, w_r, local_radius=4
+                            )
+                        return C.local_correlation_with_flow(
+                            feature0_ori, feature1_ori, lookup_flow, local_radius=4
+                        )
+
                     for refine_iter_idx in range(infer.num_reg_refine):
                         flow = jax.lax.stop_gradient(flow)
 
                         if task == "stereo":
                             displace = jnp.concatenate([-flow, jnp.zeros_like(flow)], axis=-1)
-                            corr = C.local_correlation_with_flow(
-                                feature0_ori, feature1_ori, displace, local_radius=4
-                            )
+                            corr = _refine_corr(displace)
                         elif task == "depth":
                             if pred_bidir_depth and refine_iter_idx == 0:
                                 intrinsics_curr = jnp.concatenate(
@@ -305,13 +332,13 @@ class UniMatch(nn.Module):
                             flow_from_depth = G.compute_flow_with_depth_pose(
                                 1.0 / flow[..., 0], intrinsics_curr, extrinsics_rel=pose
                             )
+                            # bidir depth doubles the features at iteration 0,
+                            # after any precomputed volume: use the exact path
                             corr = C.local_correlation_with_flow(
                                 feature0_ori, feature1_ori, flow_from_depth, local_radius=4
                             )
                         else:
-                            corr = C.local_correlation_with_flow(
-                                feature0_ori, feature1_ori, flow, local_radius=4
-                            )
+                            corr = _refine_corr(flow)
 
                         proj = self.refine_proj(feature0)
                         net, inp = jnp.split(proj, 2, axis=-1)

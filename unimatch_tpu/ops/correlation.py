@@ -183,6 +183,75 @@ def local_correlation_with_flow(
     return corr.astype(feature0.dtype)  # [B, H, W, (2R+1)^2]
 
 
+def build_full_correlation_volume(feature0: jnp.ndarray, feature1: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation volume [B, HW, HW] (scaled by 1/sqrt(C)), bf16.
+
+    RAFT-style trade for the regression-refinement loop: one MXU matmul up
+    front, then each refine iteration looks up *scalars* from the volume
+    (~70x less gather traffic than re-gathering feature rows per iteration).
+    Only used when the volume fits a memory budget — see
+    local_correlation_with_flow_from_volume.
+    """
+    b, h, w, c = feature0.shape
+    f0 = feature0.reshape(b, h * w, c)
+    f1 = feature1.reshape(b, h * w, c)
+    corr = jnp.einsum("blc,bmc->blm", f0, f1, preferred_element_type=jnp.float32)
+    return (corr / jnp.sqrt(jnp.float32(c))).astype(jnp.bfloat16)
+
+
+def volume_fits_budget(b: int, h: int, w: int, budget_bytes: int = int(2.5e9)) -> bool:
+    return 2 * b * (h * w) ** 2 <= budget_bytes
+
+
+def local_correlation_with_flow_from_volume(
+    volume: jnp.ndarray,  # [B, HW, HW] from build_full_correlation_volume
+    flow: jnp.ndarray,  # [B, H, W, 2]
+    h: int,
+    w: int,
+    local_radius: int,
+) -> jnp.ndarray:
+    """Window lookup into a precomputed volume — exact same values as
+    local_correlation_with_flow (up to volume dtype)."""
+    b = volume.shape[0]
+    r = local_radius
+    k = 2 * r + 1
+    kk = k + 1
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    fx = xs[None] + flow[..., 0].astype(jnp.float32)
+    fy = ys[None] + flow[..., 1].astype(jnp.float32)
+    bx = jnp.floor(fx)
+    by = jnp.floor(fy)
+    wx1 = (fx - bx)[..., None, None]
+    wy1 = (fy - by)[..., None, None]
+
+    off = jnp.arange(-r, r + 2, dtype=jnp.float32)  # [kk]
+    iy = by[..., None] + off
+    ix = bx[..., None] + off
+    valid = ((iy[..., :, None] >= 0) & (iy[..., :, None] <= h - 1)
+             & (ix[..., None, :] >= 0) & (ix[..., None, :] <= w - 1))  # [B,H,W,kk,kk]
+    iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+    ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+    idx = (iyc[..., :, None] * w + ixc[..., None, :]).reshape(b, h * w, kk * kk)
+
+    g = jnp.take_along_axis(volume, idx, axis=2)  # [B, HW, kk*kk] scalars
+    cp = jnp.where(valid.reshape(b, h * w, kk * kk), g.astype(jnp.float32), 0.0)
+    cp = cp.reshape(b, h, w, kk, kk)
+
+    c00 = cp[..., 0:k, 0:k]
+    c01 = cp[..., 0:k, 1 : k + 1]
+    c10 = cp[..., 1 : k + 1, 0:k]
+    c11 = cp[..., 1 : k + 1, 1 : k + 1]
+    corr = (
+        c00 * (1 - wy1) * (1 - wx1)
+        + c01 * (1 - wy1) * wx1
+        + c10 * wy1 * (1 - wx1)
+        + c11 * wy1 * wx1
+    )
+    return corr.reshape(b, h, w, k * k).astype(flow.dtype)
+
+
 def global_correlation_softmax_stereo(
     feature0: jnp.ndarray, feature1: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

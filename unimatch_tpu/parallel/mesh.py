@@ -38,3 +38,27 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a pytree of [B, ...] arrays with B sharded over the mesh."""
     sharding = batch_sharded(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None) -> None:
+    """Multi-host initialization (reference utils/dist_utils.py equivalent).
+
+    On TPU pods the runtime supplies everything and jax.distributed.initialize
+    takes no arguments; explicit args support other launchers (the reference's
+    MPI/SLURM bootstraps map onto these three parameters).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except Exception:
+        pass  # single-process run
