@@ -285,30 +285,12 @@ class UniMatch(nn.Module):
 
                     assert infer.num_reg_refine > 0
 
-                    # RAFT-style volume trade: with >1 refine iteration and a
-                    # volume that fits HBM, precompute all-pairs correlation
-                    # once and look up scalars per iteration (inference-scale
-                    # batches; training and CPU parity keep the exact
-                    # feature-gather path).
-                    from unimatch_tpu.kernels import use_pallas
-
-                    b_r, h_r, w_r, _ = feature0_ori.shape
-                    corr_volume = None
-                    if (
-                        use_pallas()
-                        and not training
-                        and infer.num_reg_refine > 1
-                        and C.volume_fits_budget(b_r, h_r, w_r)
-                    ):
-                        corr_volume = C.build_full_correlation_volume(
-                            feature0_ori, feature1_ori
-                        )
-
+                    # NOTE: a RAFT-style precomputed [HW, HW] volume with
+                    # per-iteration scalar lookups was measured 2x SLOWER on
+                    # v5e than re-gathering feature rows (sub-transaction
+                    # scalar gathers); the unique-footprint row gather in
+                    # local_correlation_with_flow is the fast path.
                     def _refine_corr(lookup_flow):
-                        if corr_volume is not None:
-                            return C.local_correlation_with_flow_from_volume(
-                                corr_volume, lookup_flow, h_r, w_r, local_radius=4
-                            )
                         return C.local_correlation_with_flow(
                             feature0_ori, feature1_ori, lookup_flow, local_radius=4
                         )
