@@ -40,7 +40,13 @@ def _flow_args(tmp_path, num_steps):
 def test_main_flow_train_and_resume(tmp_path):
     import main_flow
 
-    _make_sintel(str(tmp_path / "datasets" / "Sintel"), scenes=2, frames=3, h=56, w=72)
+    root = str(tmp_path / "datasets" / "Sintel")
+    _make_sintel(root, scenes=2, frames=3, h=56, w=72)
+    # sintel_ft mixes clean + final passes
+    import shutil
+
+    shutil.copytree(os.path.join(root, "training", "clean"),
+                    os.path.join(root, "training", "final"))
 
     main_flow.main(_flow_args(tmp_path, num_steps=2))
 

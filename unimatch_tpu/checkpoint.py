@@ -37,8 +37,13 @@ def save_training_state(path: str, state, epoch: int = 0) -> None:
     _checkpointer().save(os.path.abspath(path), payload, force=True)
 
 
-def restore(path: str) -> Dict[str, Any]:
-    return _checkpointer().restore(os.path.abspath(path))
+def restore(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
+    """Restore a checkpoint; pass `template` (a matching pytree of arrays) to
+    recover container types (optax NamedTuple states restore as plain dicts
+    otherwise)."""
+    if template is None:
+        return _checkpointer().restore(os.path.abspath(path))
+    return _checkpointer().restore(os.path.abspath(path), item=template)
 
 
 def load_any_params(path: str):

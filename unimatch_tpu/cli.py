@@ -120,7 +120,11 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
     save_run_metadata(args)
 
     model, infer = build_model_and_infer(args, task)
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    # data-parallel mesh over as many devices as evenly divide the batch
+    import math
+
+    n_dev = math.gcd(args.batch_size, jax.device_count())
+    mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
 
     dataset = build_dataset_fn(args)
     loader = DataLoader(
@@ -147,11 +151,22 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
 
     start_epoch = 0
     if args.resume:
-        loaded = ckpt.restore(args.resume) if not args.resume.endswith((".pth", ".pt")) else None
-        if loaded is not None and "opt_state" in loaded and not args.no_resume_optimizer:
+        loaded = None
+        if not args.resume.endswith((".pth", ".pt")):
+            template = {
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": 0,
+                "epoch": 0,
+            }
+            try:
+                loaded = ckpt.restore(args.resume, template=template)
+            except Exception:
+                loaded = ckpt.restore(args.resume)
+        if isinstance(loaded, dict) and "opt_state" in loaded and not args.no_resume_optimizer:
             state = TrainState(
                 step=jnp.asarray(loaded["step"], jnp.int32),
-                params=loaded["params"],
+                params=jax.tree.map(jnp.asarray, loaded["params"]),
                 opt_state=jax.tree.map(jnp.asarray, loaded["opt_state"]),
                 tx=tx,
             )
