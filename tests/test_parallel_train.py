@@ -45,7 +45,8 @@ def test_train_step_8dev_matches_single(rng):
     l1 = jax.tree.leaves(state_1.params)
     l8 = jax.tree.leaves(jax.device_get(state_8.params))
     for a, b in zip(l1, l8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        # tiny fp differences from all-reduce reduction order
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5)
 
 
 def test_train_step_decreases_loss(rng):
