@@ -68,3 +68,38 @@ def test_sintel_submission_synthetic(tmp_path):
     assert os.path.isfile(flo)
     flow = frame_utils.read_flo(flo)
     assert flow.shape == (64, 96, 2)
+
+
+def _make_kitti15_stereo(root, n=2, h=64, w=96):
+    rng = np.random.RandomState(2)
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        os.makedirs(os.path.join(root, "training", sub), exist_ok=True)
+    for i in range(n):
+        for sub in ("image_2", "image_3"):
+            Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+                os.path.join(root, "training", sub, f"{i:06d}_10.png")
+            )
+        disp = (rng.rand(h, w) * 40).astype(np.float32)
+        from unimatch_tpu.utils.frame_utils import write_kitti_disp_png
+
+        write_kitti_disp_png(os.path.join(root, "training", "disp_occ_0", f"{i:06d}_10.png"), disp)
+
+
+def test_validate_kitti15_stereo_synthetic(tmp_path):
+    from unimatch_tpu.evaluate.stereo import validate_kitti15
+    import jax.numpy as jnp
+
+    root = str(tmp_path / "kitti15")
+    _make_kitti15_stereo(root)
+
+    cfg = ModelConfig(task="stereo", num_scales=1)
+    infer = InferenceConfig(
+        attn_type="self_swin2d_cross_1d",
+        attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,),
+    )
+    model = UniMatch(config=cfg)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, img, infer=infer)
+
+    out = validate_kitti15(model, params, infer, root=root, padding_factor=16)
+    assert np.isfinite(out["kitti15_epe"]) and np.isfinite(out["kitti15_d1"])

@@ -200,6 +200,15 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
                 t_last = time.perf_counter()
                 loss = float(jax.device_get(metrics["loss"]))
                 print(f"step {total_steps} loss {loss:.4f} ({dt*1000:.0f} ms/step)")
+                if task == "flow" and "flow_gt" in batch:
+                    # colorized flow panel (reference logger.py:39-61)
+                    try:
+                        img0_np = np.asarray(jax.device_get(batch["img0"][0]))
+                        img1_np = np.asarray(jax.device_get(batch["img1"][0]))
+                        gt_np = np.asarray(jax.device_get(batch["flow_gt"][0]))
+                        logger.add_image_summary(img0_np, img1_np, gt_np, gt_np, total_steps)
+                    except Exception:
+                        pass
 
             if total_steps % args.save_ckpt_freq == 0 or total_steps == args.num_steps:
                 ckpt.save_params(

@@ -89,3 +89,36 @@ def validate_demon(model, params, infer: InferenceConfig, root: str = "datasets/
 
     ds = DemonDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()]))
     return validate_dataset(ds, model, params, infer, **kw)
+
+
+class DepthSplatAdapter:
+    """Adapts UniMatchDepthSplat to the validate_dataset driver interface.
+
+    The DepthSplat forward is always bidirectional; validation scores the
+    forward (reference-view) prediction, matching the reference's eval.
+    """
+
+    def __init__(self, model, attn_splits_list=(2,)):
+        self.model = model
+        self.attn_splits_list = tuple(attn_splits_list)
+
+    def apply(self, params, img0, img1, infer=None, intrinsics=None, pose=None, **kw):
+        out = self.model.apply(
+            params, img0, img1, intrinsics, pose,
+            attn_splits_list=self.attn_splits_list,
+            min_depth=infer.min_depth if infer else 1.0 / 10.0,
+            max_depth=infer.max_depth if infer else 1.0 / 0.5,
+        )
+        preds = out["flow_preds"]
+        b = img0.shape[0]
+        # keep only the forward-view prediction
+        return {"flow_preds": [p[:b] for p in preds]}
+
+
+def validate_scannet_depthsplat(model, params, infer, root: str = "datasets/Scannet",
+                                attn_splits_list=(2,), **kw):
+    from unimatch_tpu.data.depth_datasets import ScannetDataset, Compose, NormalizeImages
+
+    ds = ScannetDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()]))
+    adapter = DepthSplatAdapter(model, attn_splits_list)
+    return validate_dataset(ds, adapter, params, infer, **kw)
