@@ -185,3 +185,47 @@ class LayerNorm(nn.LayerNorm):
     """LayerNorm with torch eps."""
 
     epsilon: float = 1e-5
+
+
+class Conv2dMulti(nn.Module):
+    """Conv over a *virtual concat* of inputs without materializing it.
+
+    Because convolution is linear in input channels, conv(concat(parts)) ==
+    sum_i conv_i(part_i) with the kernel split along cin. Param layout is
+    identical to Conv2d on the concatenated input ('kernel' [kh, kw, sum_cin,
+    cout]), so torch checkpoint conversion is unchanged. Saves a full
+    HBM round-trip of the concatenated tensor per call — the SepConvGRU's
+    [h, x] concats alone are ~1.2 GB per refinement pass at Sintel scale.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    kernel_init: Any = conv_kaiming_init
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cins = [p.shape[-1] for p in parts]
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, sum(cins), self.features))
+        kernel = kernel.astype(parts[0].dtype)
+        acc = None
+        off = 0
+        for p, cin in zip(parts, cins):
+            y = conv_via_matmul(p, kernel[:, :, off : off + cin, :], (1, 1), self.padding)
+            acc = y if acc is None else acc + y
+            off += cin
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            acc = acc + bias.astype(acc.dtype)
+        return acc
+
+
+def conv2d_multi(features, kernel, padding=0, use_bias=True, name=None):
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    return Conv2dMulti(features=features, kernel_size=kernel, padding=padding,
+                       use_bias=use_bias, name=name)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from unimatch_tpu.models.layers import conv2d
+from unimatch_tpu.models.layers import conv2d, conv2d_multi
 
 
 class FlowHead(nn.Module):
@@ -39,29 +39,29 @@ class SepConvGRU(nn.Module):
     kernel_size: int = 5
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, h: jnp.ndarray, x_parts) -> jnp.ndarray:
+        """x_parts: list of tensors forming the (virtual) GRU input concat."""
         p = (self.kernel_size - 1) // 2
         hd = self.hidden_dim
+        if not isinstance(x_parts, (list, tuple)):
+            x_parts = [x_parts]
+        x_parts = list(x_parts)
 
-        # horizontal pass (1 x K kernels)
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(conv2d(hd, (1, self.kernel_size), padding=(0, p), name="convz1")(hx))
-        r = jax.nn.sigmoid(conv2d(hd, (1, self.kernel_size), padding=(0, p), name="convr1")(hx))
+        # horizontal pass (1 x K kernels); concats stay virtual (conv2d_multi)
+        hx = [h] + x_parts
+        z = jax.nn.sigmoid(conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), name="convz1")(hx))
+        r = jax.nn.sigmoid(conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), name="convr1")(hx))
         q = jnp.tanh(
-            conv2d(hd, (1, self.kernel_size), padding=(0, p), name="convq1")(
-                jnp.concatenate([r * h, x], axis=-1)
-            )
+            conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), name="convq1")([r * h] + x_parts)
         )
         h = (1 - z) * h + z * q
 
         # vertical pass (K x 1 kernels)
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(conv2d(hd, (self.kernel_size, 1), padding=(p, 0), name="convz2")(hx))
-        r = jax.nn.sigmoid(conv2d(hd, (self.kernel_size, 1), padding=(p, 0), name="convr2")(hx))
+        hx = [h] + x_parts
+        z = jax.nn.sigmoid(conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), name="convz2")(hx))
+        r = jax.nn.sigmoid(conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), name="convr2")(hx))
         q = jnp.tanh(
-            conv2d(hd, (self.kernel_size, 1), padding=(p, 0), name="convq2")(
-                jnp.concatenate([r * h, x], axis=-1)
-            )
+            conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), name="convq2")([r * h] + x_parts)
         )
         return (1 - z) * h + z * q
 
@@ -76,11 +76,9 @@ class BasicMotionEncoder(nn.Module):
         flo = jax.nn.relu(conv2d(128, 7, padding=3, name="convf1")(flow))
         flo = jax.nn.relu(conv2d(64, 3, padding=1, name="convf2")(flo))
         out = jax.nn.relu(
-            conv2d(128 - self.flow_channels, 3, padding=1, name="conv")(
-                jnp.concatenate([cor, flo], axis=-1)
-            )
+            conv2d_multi(128 - self.flow_channels, 3, padding=1, name="conv")([cor, flo])
         )
-        return jnp.concatenate([out, flow], axis=-1)  # 128 channels
+        return [out, flow]  # virtual concat, 128 channels
 
 
 class BasicUpdateBlock(nn.Module):
@@ -93,9 +91,8 @@ class BasicUpdateBlock(nn.Module):
     def __call__(
         self, net: jnp.ndarray, inp: jnp.ndarray, corr: jnp.ndarray, flow: jnp.ndarray
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
-        motion = BasicMotionEncoder(flow_channels=self.flow_dim, name="encoder")(flow, corr)
-        inp = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, inp)
+        motion_parts = BasicMotionEncoder(flow_channels=self.flow_dim, name="encoder")(flow, corr)
+        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, [inp] + motion_parts)
         delta = FlowHead(hidden_dim=256, out_dim=self.flow_dim, name="flow_head")(net)
 
         mask = None
