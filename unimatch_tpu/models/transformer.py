@@ -37,6 +37,30 @@ def _dense(features: int, name: str) -> nn.Dense:
     return nn.Dense(features, use_bias=False, kernel_init=xavier_uniform, name=name)
 
 
+class _DenseConcat(nn.Module):
+    """Dense over a virtual concat of inputs (kernel split over rows).
+
+    Param layout identical to nn.Dense on the concatenated input
+    ('kernel' [sum_cin, features]) — checkpoint conversion unchanged.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, parts):
+        cins = [p.shape[-1] for p in parts]
+        kernel = self.param("kernel", xavier_uniform, (sum(cins), self.features))
+        kernel = kernel.astype(parts[0].dtype)
+        acc = None
+        off = 0
+        for p, cin in zip(parts, cins):
+            y = jnp.einsum("...c,co->...o", p, kernel[off : off + cin],
+                           preferred_element_type=jnp.float32).astype(p.dtype)
+            acc = y if acc is None else acc + y
+            off += cin
+        return acc
+
+
 class TransformerLayer(nn.Module):
     d_model: int = 128
     no_ffn: bool = False
@@ -99,8 +123,9 @@ class TransformerLayer(nn.Module):
 
         if not self.no_ffn:
             hdim = 2 * c * self.ffn_dim_expansion
-            y = jnp.concatenate([source, message], axis=-1)
-            y = _dense(hdim, "mlp_0")(y)
+            # virtual concat([source, message]): split the first FFN matmul
+            # over the two channel blocks instead of materializing the concat
+            y = _DenseConcat(hdim, name="mlp_0")([source, message])
             y = gelu_exact(y)
             message = _dense(c, "mlp_2")(y)
             message = LayerNorm(name="norm2")(message)
