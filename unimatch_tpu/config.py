@@ -16,7 +16,7 @@ Both are hashable frozen dataclasses so they can be static jit arguments.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,9 +19,6 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-from unimatch_tpu.config import ModelConfig
-
-
 def _conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
 

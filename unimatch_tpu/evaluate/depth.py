@@ -9,7 +9,7 @@ Capability parity with reference evaluate_depth.py:
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

@@ -15,13 +15,13 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from unimatch_tpu.config import InferenceConfig, ModelConfig
+from unimatch_tpu.config import InferenceConfig
 from unimatch_tpu.data.padder import InputPadder
 from unimatch_tpu.models.unimatch import UniMatch
 from unimatch_tpu.ops import geometry as G

@@ -8,7 +8,7 @@ Semantics parity: reference loss/depth_loss.py —
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 

@@ -7,7 +7,7 @@ extreme flows (|flow| > max_flow).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ Conventions (all differ from the torch reference deliberately):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
