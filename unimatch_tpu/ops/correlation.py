@@ -24,7 +24,7 @@ TPU-first design choices:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,19 +129,25 @@ def local_correlation_with_flow(
     features: [B, H, W, C], flow [B, H, W, 2] -> corr [B, H, W, (2R+1)^2].
     Reference matching.py:86-123.
 
-    TPU-optimized exact reformulation: the 4 bilinear corners x (2R+1)^2
-    integer offsets visit only a (2R+2)^2 *unique* footprint per pixel. We
-    gather that footprint once (one row-gather of (2R+2)^2 x C per pixel
-    instead of 4(2R+1)^2), reduce over channels immediately, and realize the
-    bilinear blend as 4 static shifted slices of the [.., 2R+2, 2R+2]
-    correlation patch — 7x faster than the naive 4-corner gather on v5e,
-    bit-identical results.
+    TPU-optimized exact reformulation (measured 3-7x faster than the naive
+    4-corner gather on v5e, bit-identical):
+      * the 4 bilinear corners x (2R+1)^2 integer offsets visit only a
+        (2R+2)^2 *unique* footprint per pixel — gather it once;
+      * gather Q=4 adjacent columns per row (zero-padded f1 viewed as
+        [.., W/Q, Q*C]) so each HBM gather transaction moves a 1 KB row
+        instead of a 256 B row, then select the wanted kk columns
+        branchlessly after the channel reduction;
+      * realize the bilinear blend as 4 static shifted slices of the
+        channel-reduced [.., kk, kk] patch.
     """
+    import math
+
     b, h, w, c = feature0.shape
     r = local_radius
     k = 2 * r + 1
     kk = k + 1  # unique footprint side
-
+    q = 4  # column-group width (gather transaction widening)
+    nq = math.ceil(kk / q) + 1
     assert dilation == 1, "dilation > 1 uses the generic sampling path"
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -153,21 +159,36 @@ def local_correlation_with_flow(
     wx1 = (fx - bx)[..., None, None]
     wy1 = (fy - by)[..., None, None]
 
-    off = jnp.arange(-r, r + 2, dtype=jnp.float32)  # [kk]
-    iy = by[..., None] + off  # [B, H, W, kk]
-    ix = bx[..., None] + off
-    valid = ((iy[..., :, None] >= 0) & (iy[..., :, None] <= h - 1)
-             & (ix[..., None, :] >= 0) & (ix[..., None, :] <= w - 1))  # [B,H,W,kk,kk]
-    iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-    ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+    # zero padding implements the reference's grid_sample zeros semantics:
+    # when the clamped slice start parks a fully-out-of-image footprint in
+    # the pad region, every tap reads 0 (same contribution as masked taps)
+    pad = kk + q
+    wp = -(-(w + 2 * pad) // q) * q + q
+    f1p = jnp.pad(feature1, ((0, 0), (pad, pad), (pad, wp - w - pad), (0, 0)))
+    hp = h + 2 * pad
 
-    flat = feature1.reshape(b, h * w, c)
-    idx = (iyc[..., :, None] * w + ixc[..., None, :]).reshape(b, -1)  # [B, H*W*kk*kk]
-    g = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(b, h, w, kk, kk, c)
-    g = g * valid[..., None].astype(g.dtype)
+    iy0 = jnp.clip(by - r + pad, 0, hp - kk).astype(jnp.int32)
+    ix0 = jnp.clip(bx - r + pad, 0, w + 2 * pad - kk).astype(jnp.int32)
+    qs = ix0 // q  # column-group index
+    rem = ix0 - qs * q  # 0..q-1
 
-    # channel reduction first -> small patch tensor [B, H, W, kk, kk]
-    cp = jnp.einsum("bhwyxc,bhwc->bhwyx", g, feature0, preferred_element_type=jnp.float32)
+    wq = f1p.shape[2] // q
+    flat = f1p.reshape(b, hp * wq, q * c)
+    dyo = jnp.arange(kk, dtype=jnp.int32)
+    gq = jnp.arange(nq, dtype=jnp.int32)
+    idx = (
+        (iy0[..., None, None] + dyo[None, None, None, :, None]) * wq
+        + qs[..., None, None]
+        + gq[None, None, None, None, :]
+    )  # [B, H, W, kk, nq]
+    g = jnp.take_along_axis(flat, idx.reshape(b, -1)[..., None], axis=1)
+    g = g.reshape(b, h, w, kk, nq * q, c)
+
+    # channel reduction first -> [B, H, W, kk, nq*q]
+    cp_all = jnp.einsum("bhwyxc,bhwc->bhwyx", g, feature0, preferred_element_type=jnp.float32)
+    # branchless selection of the kk columns starting at rem
+    rem_b = rem[..., None, None]
+    cp = sum(jnp.where(rem_b == j, cp_all[..., j : j + kk], 0.0) for j in range(q))
 
     c00 = cp[..., 0:k, 0:k]
     c01 = cp[..., 0:k, 1 : k + 1]
