@@ -5,7 +5,13 @@ Baseline: reference GMFlow-scale2-regrefine6 = 122 ms on A100 (MODEL_ZOO.md:25-2
 => 8.197 image pairs/sec. vs_baseline = our pairs/sec / 8.197.
 
 Methodology mirrors the reference timing (MODEL_ZOO.md:5, evaluate_flow.py:401-421):
-batch size 1, average over N runs, device-synchronized (block_until_ready).
+batch size 1, averaged, device-synchronized — via the chained-execution timer
+(see utils/benchmark.py for why plain block_until_ready is not used).
+
+BENCH_CONFIG selects other model variants (their A100 baselines from
+MODEL_ZOO.md): gmflow_scale1 (26 ms @448x1024), gmflow_scale2 (66 ms),
+gmflow_scale2_regrefine6 (122 ms, default), gmstereo_scale2_regrefine3
+(86 ms @384x1248), gmdepth_scale1 (17 ms @480x640).
 """
 
 import json
@@ -16,27 +22,43 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from unimatch_tpu.config import GMFLOW_SCALE2_REGREFINE6
+from unimatch_tpu import config as cfgs
 from unimatch_tpu.models.unimatch import UniMatch
 
-A100_PAIRS_PER_SEC = 1000.0 / 122.0  # 8.197
+_CONFIGS = {
+    "gmflow_scale1": (cfgs.GMFLOW_SCALE1, 1000.0 / 26.0, (448, 1024)),
+    "gmflow_scale2": (cfgs.GMFLOW_SCALE2, 1000.0 / 66.0, (448, 1024)),
+    "gmflow_scale2_regrefine6": (cfgs.GMFLOW_SCALE2_REGREFINE6, 1000.0 / 122.0, (448, 1024)),
+    "gmstereo_scale2_regrefine3": (cfgs.GMSTEREO_SCALE2_REGREFINE3, 1000.0 / 86.0, (384, 1248)),
+    "gmdepth_scale1": (cfgs.GMDEPTH_SCALE1, 1000.0 / 17.0, (480, 640)),
+}
 
-H = int(os.environ.get("BENCH_H", 448))
-W = int(os.environ.get("BENCH_W", 1024))
+CONFIG = os.environ.get("BENCH_CONFIG", "gmflow_scale2_regrefine6")
+(_cfg_pair, A100_PAIRS_PER_SEC, (_dh, _dw)) = _CONFIGS[CONFIG]
+
+H = int(os.environ.get("BENCH_H", _dh))
+W = int(os.environ.get("BENCH_W", _dw))
 RUNS = int(os.environ.get("BENCH_RUNS", 50))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 5))
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 
 
 def main():
-    cfg, infer = GMFLOW_SCALE2_REGREFINE6
+    cfg, infer = _cfg_pair
     model = UniMatch(config=cfg)
 
     rng = np.random.RandomState(0)
     img0 = jnp.asarray((rng.rand(1, H, W, 3) * 255).astype(np.float32))
     img1 = jnp.asarray((rng.rand(1, H, W, 3) * 255).astype(np.float32))
 
-    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+    extra = {}
+    if cfg.task == "depth":
+        K = np.array([[[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1]]], np.float32)
+        pose = np.eye(4, dtype=np.float32)[None]
+        pose[:, 0, 3] = 0.1
+        extra = {"intrinsics": jnp.asarray(K), "pose": jnp.asarray(pose)}
+
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer, **extra)
     if DTYPE == "bf16":
         # bf16 params & activations, fp32 softmax/accumulation inside the ops
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
@@ -45,7 +67,7 @@ def main():
 
     @jax.jit
     def fwd(params, a, b):
-        return model.apply(params, a, b, infer=infer)["flow_preds"][-1]
+        return model.apply(params, a, b, infer=infer, **extra)["flow_preds"][-1]
 
     from unimatch_tpu.utils.benchmark import time_chained
 
@@ -55,7 +77,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"gmflow_scale2_regrefine6_{H}x{W}_bs1_pairs_per_sec",
+                "metric": f"{CONFIG}_{H}x{W}_bs1_pairs_per_sec",
                 "value": round(pairs_per_sec, 3),
                 "unit": "image_pairs/sec/chip",
                 "vs_baseline": round(pairs_per_sec / A100_PAIRS_PER_SEC, 3),
