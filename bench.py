@@ -16,7 +16,6 @@ gmflow_scale2_regrefine6 (122 ms, default), gmstereo_scale2_regrefine3
 
 import json
 import os
-import time
 
 import numpy as np
 import jax

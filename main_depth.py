@@ -151,10 +151,55 @@ def _load_params(args, model, infer):
     return params
 
 
+def _load_depthsplat_params(args, model):
+    """Init DepthSplat params (shape-independent) and optionally resume."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unimatch_tpu import checkpoint as ckpt
+
+    img = jnp.zeros((1, 96, 128, 3), jnp.float32)
+    K = jnp.asarray(np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]], np.float32))[None]
+    pose = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    variables = model.init(jax.random.PRNGKey(0), img, img, K, pose,
+                           attn_splits_list=tuple(args.attn_splits_list))
+    if args.resume:
+        loaded = ckpt.load_any_params(args.resume)
+        merged = ckpt.merge_params(
+            jax.device_get(variables["params"]), loaded.get("params", loaded),
+            strict=args.strict_resume,
+        )
+        variables = {"params": jax.tree.map(jnp.asarray, merged)}
+    return variables
+
+
 def main(args):
     if args.depthsplat_depth:
-        assert args.inference_dir, "depthsplat driver currently supports --inference_dir"
-        _run_depthsplat_inference(args)
+        if args.inference_dir:
+            _run_depthsplat_inference(args)
+            return
+        from unimatch_tpu.cli import build_model_and_infer
+        from unimatch_tpu.evaluate.depth import DepthSplatAdapter
+
+        _, infer = build_model_and_infer(args, "depth")
+        ds_model = _build_depthsplat(args)
+        if args.eval:
+            from unimatch_tpu.evaluate import depth as E
+
+            params = _load_depthsplat_params(args, ds_model)
+            results = E.validate_scannet_depthsplat(
+                ds_model, params, infer, root=f"{args.datasets_root}/Scannet",
+                attn_splits_list=tuple(args.attn_splits_list),
+                eval_min_depth=args.eval_min_depth, eval_max_depth=args.eval_max_depth)
+            for k, v in results.items():
+                print(f"{k}: {v:.4f}")
+            return
+        # train: the adapter exposes the UniMatch depth interface, so the
+        # generic loop (dual L1+grad loss, reference main_depth.py:381-401)
+        # drives DepthSplat unchanged.
+        adapter = DepthSplatAdapter(ds_model, tuple(args.attn_splits_list))
+        _train(args, model_and_infer=(adapter, infer))
         return
 
     if args.inference_dir:
@@ -192,7 +237,10 @@ def main(args):
             print(f"{k}: {v:.4f}")
         return
 
-    # train
+    _train(args)
+
+
+def _train(args, model_and_infer=None):
     import numpy as np
 
     def build_dataset_fn(a):
@@ -218,7 +266,29 @@ def main(args):
             "pose": np.eye(4, dtype=np.float32)[None],
         }
 
-    train_loop(args, "depth", build_dataset_fn, example_batch_fn)
+    def validate_fn(a, model, params, infer):
+        """Periodic in-training validation (reference main_depth.py val branch)."""
+        from unimatch_tpu.evaluate import depth as E
+
+        results = {}
+        for val in a.val_dataset:
+            try:
+                if val == "scannet":
+                    results.update(E.validate_scannet(
+                        model, params, infer, root=f"{a.datasets_root}/Scannet",
+                        eval_min_depth=a.eval_min_depth,
+                        eval_max_depth=a.eval_max_depth))
+                elif val == "demon":
+                    results.update(E.validate_demon(
+                        model, params, infer, root=f"{a.datasets_root}/Demon",
+                        eval_min_depth=a.eval_min_depth,
+                        eval_max_depth=a.eval_max_depth))
+            except FileNotFoundError:
+                pass  # validation dataset not present on this host
+        return results
+
+    train_loop(args, "depth", build_dataset_fn, example_batch_fn,
+               validate_fn=validate_fn, model_and_infer=model_and_infer)
 
 
 if __name__ == "__main__":

@@ -153,13 +153,32 @@ def main(args):
         }
 
     def validate_fn(a, model, params, infer):
-        prev, a.resume = a.resume, None  # validate current params, not a file
-        try:
-            return {}  # periodic full validation opt-in via --val_dataset at eval time
-        finally:
-            a.resume = prev
+        """Periodic in-training validation (reference main_flow.py:482-593)."""
+        from unimatch_tpu.evaluate import flow as E
 
-    train_loop(args, "flow", build_dataset_fn, example_batch_fn)
+        results = {}
+        for val in a.val_dataset:
+            try:
+                if val == "chairs":
+                    results.update(E.validate_chairs(
+                        model, params, infer,
+                        root=f"{a.datasets_root}/FlyingChairs_release/data",
+                        padding_factor=a.padding_factor))
+                elif val == "sintel":
+                    for dstype in ("clean", "final"):
+                        results.update(E.validate_sintel(
+                            model, params, infer, root=f"{a.datasets_root}/Sintel",
+                            dstype=dstype, padding_factor=a.padding_factor,
+                            with_speed_metric=False))
+                elif val == "kitti":
+                    results.update(E.validate_kitti(
+                        model, params, infer, root=f"{a.datasets_root}/KITTI",
+                        padding_factor=a.padding_factor))
+            except FileNotFoundError:
+                pass  # validation dataset not present on this host
+        return results
+
+    train_loop(args, "flow", build_dataset_fn, example_batch_fn, validate_fn=validate_fn)
 
 
 if __name__ == "__main__":

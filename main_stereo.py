@@ -132,7 +132,36 @@ def main(args):
             "valid": np.ones((1, h, w), np.float32),
         }
 
-    train_loop(args, "stereo", build_dataset_fn, example_batch_fn)
+    def validate_fn(a, model, params, infer):
+        """Periodic in-training validation (reference main_stereo.py:482-)."""
+        from unimatch_tpu.evaluate import stereo as E
+
+        size = tuple(a.inference_size) if a.inference_size else None
+        kw = dict(padding_factor=a.padding_factor, inference_size=size)
+        results = {}
+        for val in a.val_dataset:
+            try:
+                if val == "things":
+                    results.update(E.validate_things(
+                        model, params, infer,
+                        root=f"{a.datasets_root}/FlyingThings3D", **kw))
+                elif val == "kitti15":
+                    results.update(E.validate_kitti15(
+                        model, params, infer,
+                        root=f"{a.datasets_root}/KITTI/stereo/kitti_2015", **kw))
+                elif val == "eth3d":
+                    results.update(E.validate_eth3d(
+                        model, params, infer, root=f"{a.datasets_root}/ETH3D", **kw))
+                elif val == "middlebury":
+                    results.update(E.validate_middlebury(
+                        model, params, infer,
+                        root=f"{a.datasets_root}/Middlebury/MiddEval3",
+                        resolution=a.middlebury_resolution, **kw))
+            except FileNotFoundError:
+                pass  # validation dataset not present on this host
+        return results
+
+    train_loop(args, "stereo", build_dataset_fn, example_batch_fn, validate_fn=validate_fn)
 
 
 if __name__ == "__main__":

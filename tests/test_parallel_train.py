@@ -64,6 +64,47 @@ def test_train_step_decreases_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+def _depth_batch(rng, b, h, w):
+    K = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32)
+    return {
+        "img0": (rng.rand(b, h, w, 3) * 255).astype(np.float32),
+        "img1": (rng.rand(b, h, w, 3) * 255).astype(np.float32),
+        "depth_gt": (1.0 + rng.rand(b, h, w) * 5).astype(np.float32),
+        "valid": np.ones((b, h, w), np.float32),
+        "intrinsics": np.tile(K[None], (b, 1, 1)),
+        "pose": np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1)),
+    }
+
+
+def test_depth_train_step(rng):
+    """Depth-task training: init pulls intrinsics/pose from the batch."""
+    cfg = ModelConfig(task="depth", num_scales=1)
+    infer = InferenceConfig(attn_splits_list=(2,), corr_radius_list=(-1,),
+                            prop_radius_list=(-1,), num_depth_candidates=16)
+    model = UniMatch(config=cfg)
+    batch = _depth_batch(rng, 2, 32, 48)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, infer)
+    step = make_train_step(model, infer)
+    state, metrics = step(state, jax.tree.map(jnp.asarray, batch))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "depth_l1" in metrics and "depth_grad" in metrics
+
+
+def test_depthsplat_adapter_train_step(rng):
+    """DepthSplatAdapter drives the generic depth train step end to end."""
+    from unimatch_tpu.evaluate.depth import DepthSplatAdapter
+    from unimatch_tpu.models.unimatch_depthsplat import DepthSplatConfig, UniMatchDepthSplat
+
+    ds_model = UniMatchDepthSplat(config=DepthSplatConfig(num_scales=1, num_depth_candidates=16))
+    adapter = DepthSplatAdapter(ds_model, attn_splits_list=(2,))
+    infer = InferenceConfig(attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,))
+    batch = _depth_batch(rng, 1, 64, 96)
+    state = create_train_state(adapter, jax.random.PRNGKey(0), batch, infer)
+    step = make_train_step(adapter, infer)
+    state, metrics = step(state, jax.tree.map(jnp.asarray, batch))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_graft_entry_single():
     import __graft_entry__ as ge
 

@@ -49,9 +49,19 @@ def restore(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
 def load_any_params(path: str):
     """Load params from an Orbax dir or a torch .pth (auto-converted)."""
     if path.endswith(".pth") or path.endswith(".pt"):
-        from unimatch_tpu.convert import load_torch_checkpoint
+        import torch
 
-        return load_torch_checkpoint(path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        # DepthSplat checkpoints carry mono/mv-branch keys absent from UniMatch
+        if any(k.split("module.")[-1].startswith(("pretrained.", "mv_pyramid.", "mono_pyramid."))
+               for k in state):
+            from unimatch_tpu.convert_depthsplat import convert_depthsplat_state_dict
+
+            return convert_depthsplat_state_dict(state)
+        from unimatch_tpu.convert import convert_state_dict
+
+        return convert_state_dict(state)
     restored = restore(path)
     return restored.get("params", restored)
 

@@ -105,7 +105,8 @@ def save_run_metadata(args) -> None:
 
 
 def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
-               validate_fn: Optional[callable] = None) -> None:
+               validate_fn: Optional[callable] = None,
+               model_and_infer=None) -> None:
     """Generic training driver (reference main_flow.py:409-601 semantics)."""
     import jax
     import jax.numpy as jnp
@@ -119,7 +120,7 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
     np.random.seed(args.seed)
     save_run_metadata(args)
 
-    model, infer = build_model_and_infer(args, task)
+    model, infer = model_and_infer or build_model_and_infer(args, task)
     # data-parallel mesh over as many devices as evenly divide the batch
     import math
 

@@ -2,7 +2,8 @@
 
 Capability parity with reference utils/utils.py:6-24 (InputPadder): pad
 images to a multiple of `padding_factor`, 'sintel' mode centers the pad,
-'kitti' mode pads top/right only. Padding/unpadding are part of the metric
+'kitti' mode centers the width pad and pads height at the bottom.
+Padding/unpadding are part of the metric
 contract — validation numbers depend on them.
 
 TPU note: padding to shape buckets is also what keeps XLA compile counts

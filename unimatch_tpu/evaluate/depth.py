@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from unimatch_tpu.config import InferenceConfig
+from unimatch_tpu.evaluate import require_samples
 
 
 def _jit_depth(model, infer: InferenceConfig):
@@ -79,7 +80,7 @@ def validate_scannet(model, params, infer: InferenceConfig, root: str = "dataset
                      **kw) -> Dict[str, float]:
     from unimatch_tpu.data.depth_datasets import ScannetDataset, Compose, NormalizeImages
 
-    ds = ScannetDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()]))
+    ds = require_samples(ScannetDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()])), root)
     return validate_dataset(ds, model, params, infer, **kw)
 
 
@@ -87,28 +88,50 @@ def validate_demon(model, params, infer: InferenceConfig, root: str = "datasets/
                    **kw) -> Dict[str, float]:
     from unimatch_tpu.data.depth_datasets import DemonDataset, Compose, NormalizeImages
 
-    ds = DemonDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()]))
+    ds = require_samples(DemonDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()])), root)
     return validate_dataset(ds, model, params, infer, **kw)
 
 
-class DepthSplatAdapter:
-    """Adapts UniMatchDepthSplat to the validate_dataset driver interface.
+class _DepthTaskConfig:
+    """Minimal config shim so make_train_step sees a depth-task model."""
 
-    The DepthSplat forward is always bidirectional; validation scores the
-    forward (reference-view) prediction, matching the reference's eval.
+    task = "depth"
+
+
+class DepthSplatAdapter:
+    """Adapts UniMatchDepthSplat to the UniMatch depth model interface
+    (init/apply with infer=/intrinsics=/pose= kwargs), so the same
+    validate_dataset driver and train_loop work for both model families
+    (reference main_depth.py:151-155 model switch).
+
+    The DepthSplat forward is always bidirectional; validation and the
+    training loss score the forward (reference-view) prediction, matching
+    the reference's eval.
     """
+
+    config = _DepthTaskConfig()
 
     def __init__(self, model, attn_splits_list=(2,)):
         self.model = model
         self.attn_splits_list = tuple(attn_splits_list)
 
-    def apply(self, params, img0, img1, infer=None, intrinsics=None, pose=None, **kw):
-        out = self.model.apply(
-            params, img0, img1, intrinsics, pose,
+    def _kwargs(self, infer, training):
+        return dict(
             attn_splits_list=self.attn_splits_list,
             min_depth=infer.min_depth if infer else 1.0 / 10.0,
             max_depth=infer.max_depth if infer else 1.0 / 0.5,
+            training=training,
         )
+
+    def init(self, rng, img0, img1, infer=None, training=False,
+             intrinsics=None, pose=None, **kw):
+        return self.model.init(
+            rng, img0, img1, intrinsics, pose, **self._kwargs(infer, training))
+
+    def apply(self, params, img0, img1, infer=None, training=False,
+              intrinsics=None, pose=None, **kw):
+        out = self.model.apply(
+            params, img0, img1, intrinsics, pose, **self._kwargs(infer, training))
         preds = out["flow_preds"]
         b = img0.shape[0]
         # keep only the forward-view prediction
@@ -119,6 +142,6 @@ def validate_scannet_depthsplat(model, params, infer, root: str = "datasets/Scan
                                 attn_splits_list=(2,), **kw):
     from unimatch_tpu.data.depth_datasets import ScannetDataset, Compose, NormalizeImages
 
-    ds = ScannetDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()]))
+    ds = require_samples(ScannetDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()])), root)
     adapter = DepthSplatAdapter(model, attn_splits_list)
     return validate_dataset(ds, adapter, params, infer, **kw)

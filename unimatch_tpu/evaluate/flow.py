@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from unimatch_tpu.config import InferenceConfig
+from unimatch_tpu.evaluate import require_samples
 from unimatch_tpu.data.padder import InputPadder
 from unimatch_tpu.ops import geometry as G
 from unimatch_tpu.utils import frame_utils
@@ -63,7 +64,7 @@ def validate_chairs(model, params, infer: InferenceConfig, root: str = "datasets
                     padding_factor: int = 8) -> Dict[str, float]:
     from unimatch_tpu.data.flow_datasets import FlyingChairs
 
-    ds = FlyingChairs(aug_params=None, split="validation", root=root)
+    ds = require_samples(FlyingChairs(aug_params=None, split="validation", root=root), root)
     fwd = _jit_flow(model, infer)
     epes = []
     for i in range(len(ds)):
@@ -81,7 +82,7 @@ def validate_things(model, params, infer: InferenceConfig, root: str = "datasets
                     inference_size: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
     from unimatch_tpu.data.flow_datasets import FlyingThings3D
 
-    ds = FlyingThings3D(aug_params=None, root=root, dstype=dstype, test_set=True)
+    ds = require_samples(FlyingThings3D(aug_params=None, root=root, dstype=dstype, test_set=True), root)
     fwd = _jit_flow(model, infer)
     epes = []
     for i in range(len(ds)):
@@ -116,8 +117,8 @@ def validate_sintel(model, params, infer: InferenceConfig, root: str = "datasets
                     inference_size: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
     from unimatch_tpu.data.flow_datasets import MpiSintel
 
-    ds = MpiSintel(aug_params=None, split="training", dstype=dstype, root=root,
-                   load_occlusion=evaluate_matched_unmatched)
+    ds = require_samples(MpiSintel(aug_params=None, split="training", dstype=dstype, root=root,
+                                 load_occlusion=evaluate_matched_unmatched), root)
     fwd = _jit_flow(model, infer)
 
     epe_list, s010, s1040, s40 = [], [], [], []
@@ -172,7 +173,7 @@ def validate_kitti(model, params, infer: InferenceConfig, root: str = "datasets/
                    inference_size: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
     from unimatch_tpu.data.flow_datasets import KITTI
 
-    ds = KITTI(aug_params=None, split="training", root=root)
+    ds = require_samples(KITTI(aug_params=None, split="training", root=root), root)
     fwd = _jit_flow(model, infer)
     epe_list, f1_list = [], []
     for i in range(len(ds)):
@@ -195,7 +196,7 @@ def create_sintel_submission(model, params, infer: InferenceConfig, root: str = 
 
     fwd = _jit_flow(model, infer)
     for dstype in ("clean", "final"):
-        ds = MpiSintel(aug_params=None, split="test", dstype=dstype, root=root)
+        ds = require_samples(MpiSintel(aug_params=None, split="test", dstype=dstype, root=root), root)
         for i in range(len(ds)):
             s = ds[i]
             scene, frame_id = s["extra"]
@@ -210,7 +211,7 @@ def create_kitti_submission(model, params, infer: InferenceConfig, root: str = "
                             inference_size: Optional[Tuple[int, int]] = None) -> None:
     from unimatch_tpu.data.flow_datasets import KITTI
 
-    ds = KITTI(aug_params=None, split="testing", root=root)
+    ds = require_samples(KITTI(aug_params=None, split="testing", root=root), root)
     fwd = _jit_flow(model, infer)
     os.makedirs(output_path, exist_ok=True)
     for i in range(len(ds)):

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from unimatch_tpu.config import InferenceConfig
+from unimatch_tpu.evaluate import require_samples
 from unimatch_tpu.data.padder import InputPadder
 from unimatch_tpu.data.transforms_stereo import IMAGENET_MEAN, IMAGENET_STD
 from unimatch_tpu.ops import geometry as G
@@ -89,21 +90,21 @@ def _validate(ds, model, params, infer, prefix, padding_factor=32, inference_siz
 def validate_things(model, params, infer, root="datasets/FlyingThings3D", **kw):
     from unimatch_tpu.data.stereo_datasets import FlyingThings3D
 
-    ds = FlyingThings3D(root, mode="TEST")
+    ds = require_samples(FlyingThings3D(root, mode="TEST"), root)
     return _validate(ds, model, params, infer, "things", max_disp=400.0, **kw)
 
 
 def validate_kitti15(model, params, infer, root="datasets/KITTI/stereo/kitti_2015", **kw):
     from unimatch_tpu.data.stereo_datasets import KITTI15
 
-    ds = KITTI15(root, mode="training")
+    ds = require_samples(KITTI15(root, mode="training"), root)
     return _validate(ds, model, params, infer, "kitti15", **kw)
 
 
 def validate_eth3d(model, params, infer, root="datasets/ETH3D", **kw):
     from unimatch_tpu.data.stereo_datasets import ETH3DStereo
 
-    ds = ETH3DStereo(root, mode="train")
+    ds = require_samples(ETH3DStereo(root, mode="train"), root)
     return _validate(ds, model, params, infer, "eth3d", **kw)
 
 
@@ -111,7 +112,7 @@ def validate_middlebury(model, params, infer, root="datasets/Middlebury/MiddEval
                         resolution="H", **kw):
     from unimatch_tpu.data.stereo_datasets import MiddleburyEval3
 
-    ds = MiddleburyEval3(root, mode="training", resolution=resolution)
+    ds = require_samples(MiddleburyEval3(root, mode="training", resolution=resolution), root)
     return _validate(ds, model, params, infer, f"middlebury_{resolution}", **kw)
 
 
@@ -120,7 +121,7 @@ def create_kitti_submission(model, params, infer, root="datasets/KITTI/stereo/ki
                             inference_size=None):
     from unimatch_tpu.data.stereo_datasets import KITTI15
 
-    ds = KITTI15(root, mode="testing", save_filename=True)
+    ds = require_samples(KITTI15(root, mode="testing", save_filename=True), root)
     fwd = _jit_stereo(model, infer)
     os.makedirs(output_path, exist_ok=True)
     for i in range(len(ds)):
@@ -134,7 +135,7 @@ def create_eth3d_submission(model, params, infer, root="datasets/ETH3D",
                             inference_size=None):
     from unimatch_tpu.data.stereo_datasets import ETH3DStereo
 
-    ds = ETH3DStereo(root, mode="test", save_filename=True)
+    ds = require_samples(ETH3DStereo(root, mode="test", save_filename=True), root)
     fwd = _jit_stereo(model, infer)
     os.makedirs(output_path, exist_ok=True)
     for i in range(len(ds)):
@@ -153,7 +154,7 @@ def create_middlebury_submission(model, params, infer, root="datasets/Middlebury
                                  padding_factor=32, inference_size=None):
     from unimatch_tpu.data.stereo_datasets import MiddleburyEval3
 
-    ds = MiddleburyEval3(root, mode="test", resolution=resolution, save_filename=True)
+    ds = require_samples(MiddleburyEval3(root, mode="test", resolution=resolution, save_filename=True), root)
     fwd = _jit_stereo(model, infer)
     for i in range(len(ds)):
         s = ds[i]

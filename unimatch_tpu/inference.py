@@ -142,7 +142,6 @@ def inference_flow(
             written.append(flo_path)
 
         if pred_bidir_flow:
-            bwd_np = np.asarray(flow[1] if not transpose else flow[1], np.float32)
             bwd_path = base + "_flow_bwd.png"
             save_vis_flow_tofile(np.asarray(flow[1], np.float32), bwd_path)
             written.append(bwd_path)

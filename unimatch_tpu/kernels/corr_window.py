@@ -14,8 +14,11 @@ Mosaic constraints shape the design:
   * sublane writes must be 8-aligned -> pixels are processed in groups of 8
     and written as one [8, 128] tile.
 
-Grid: (B, H/8) — 8 image rows per step. Requires padded f1 in VMEM (~9.3 MB
-at 1/4-scale Sintel bf16); callers fall back to the jnp path otherwise.
+Grid: (B, H/8) — 8 image rows per step.
+
+STATUS: measured ~3x SLOWER than the XLA row-gather on v5e (per-pixel
+scalar-loop overhead dominates; see docs/PERF_NOTES.md) — kept with tests as
+a documented design-space exploration, NOT dispatched from the model.
 """
 
 from __future__ import annotations

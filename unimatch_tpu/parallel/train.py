@@ -47,6 +47,10 @@ def make_optimizer(
     pct_start: float = 0.05,
 ) -> optax.GradientTransformation:
     """AdamW + OneCycle cosine schedule, matching torch OneCycleLR defaults."""
+    # optax's onecycle emits NaN for every step when a phase rounds to zero
+    # steps; keep the warmup phase >= 1 step for tiny (smoke-run) step counts.
+    total_steps = max(total_steps, 2)
+    pct_start = max(pct_start, 1.0 / total_steps)
     schedule = optax.cosine_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=lr,
@@ -71,6 +75,9 @@ def create_train_state(
     **model_kwargs,
 ) -> TrainState:
     tx = tx or make_optimizer()
+    for key in ("intrinsics", "pose"):  # depth task needs camera geometry at init
+        if key in example_batch and key not in model_kwargs:
+            model_kwargs[key] = example_batch[key]
     params = model.init(
         rng, example_batch["img0"], example_batch["img1"], infer=infer, training=True,
         **model_kwargs,
