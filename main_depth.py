@@ -12,9 +12,17 @@ from unimatch_tpu.cli import add_common_args, build_model_and_infer, train_loop
 def get_args_parser():
     parser = argparse.ArgumentParser("unimatch_tpu depth")
     add_common_args(parser)
-    parser.add_argument("--stage", default="scannet", type=str)
+    # the reference names the training-stage flag --dataset (main_depth.py:28);
+    # --stage is kept as an alias for symmetry with the flow/stereo drivers
+    parser.add_argument("--dataset", "--stage", dest="stage", default="scannet", type=str)
+    parser.add_argument("--task", default="depth", choices=["depth"], type=str)
     parser.add_argument("--image_size", default=[480, 640], type=int, nargs="+")
     parser.add_argument("--val_dataset", default=["scannet"], type=str, nargs="+")
+    parser.add_argument("--demon_split", default="rgbd", type=str)
+    parser.add_argument("--save_vis_depth", action="store_true")
+    parser.add_argument("--save_dir", default=None, type=str)
+    parser.add_argument("--workers", dest="num_workers", default=argparse.SUPPRESS, type=int)
+    parser.add_argument("--depth_grad_loss_weight", default=20.0, type=float)
     parser.add_argument("--min_depth", default=0.5, type=float)
     parser.add_argument("--max_depth", default=10.0, type=float)
     parser.add_argument("--eval_min_depth", default=0.5, type=float)
@@ -179,7 +187,6 @@ def main(args):
         if args.inference_dir:
             _run_depthsplat_inference(args)
             return
-        from unimatch_tpu.cli import build_model_and_infer
         from unimatch_tpu.evaluate.depth import DepthSplatAdapter
 
         _, infer = build_model_and_infer(args, "depth")
@@ -223,16 +230,20 @@ def main(args):
         model, infer = build_model_and_infer(args, "depth")
         params = _load_params(args, model, infer)
         results = {}
+        vis_kw = dict(save_vis_depth=args.save_vis_depth,
+                      save_dir=args.save_dir or args.output_path)
         for val in args.val_dataset:
             if val == "scannet":
                 results.update(E.validate_scannet(
                     model, params, infer, root=f"{args.datasets_root}/Scannet",
                     eval_min_depth=args.eval_min_depth, eval_max_depth=args.eval_max_depth,
-                    count_time=args.count_time))
+                    count_time=args.count_time, **vis_kw))
             elif val == "demon":
                 results.update(E.validate_demon(
                     model, params, infer, root=f"{args.datasets_root}/Demon",
-                    eval_min_depth=args.eval_min_depth, eval_max_depth=args.eval_max_depth))
+                    split=args.demon_split,
+                    eval_min_depth=args.eval_min_depth, eval_max_depth=args.eval_max_depth,
+                    **vis_kw))
         for k, v in results.items():
             print(f"{k}: {v:.4f}")
         return

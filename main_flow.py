@@ -14,9 +14,12 @@ def get_args_parser():
     parser = argparse.ArgumentParser("unimatch_tpu flow")
     add_common_args(parser)
     parser.add_argument("--stage", default="chairs", type=str)
+    parser.add_argument("--task", default="flow", choices=["flow"], type=str)
     parser.add_argument("--image_size", default=[384, 512], type=int, nargs="+")
     parser.add_argument("--val_dataset", default=["chairs"], type=str, nargs="+")
     parser.add_argument("--max_flow", default=400, type=int)
+    parser.add_argument("--gamma", default=0.9, type=float,
+                        help="exponential loss weighting of the sequence predictions")
     parser.add_argument("--submission", action="store_true")
     parser.add_argument("--output_path", default="output", type=str)
     parser.add_argument("--save_vis_flow", action="store_true")
@@ -24,10 +27,15 @@ def get_args_parser():
     parser.add_argument("--inference_dir", default=None, type=str)
     parser.add_argument("--inference_video", default=None, type=str)
     parser.add_argument("--pred_bidir_flow", action="store_true")
-    parser.add_argument("--fwd_bwd_consistency_check", action="store_true")
+    parser.add_argument("--pred_bwd_flow", action="store_true")
+    parser.add_argument("--fwd_bwd_check", action="store_true")
+    parser.add_argument("--save_flo_flow", action="store_true")
     parser.add_argument("--save_video", action="store_true")
     parser.add_argument("--concat_flow_img", action="store_true")
     parser.add_argument("--with_speed_metric", action="store_true")
+    parser.add_argument("--save_eval_to_file", action="store_true")
+    parser.add_argument("--evaluate_matched_unmatched", action="store_true")
+    parser.add_argument("--val_things_clean_only", action="store_true")
     return parser
 
 
@@ -65,10 +73,15 @@ def run_eval(args):
                                              root=f"{args.datasets_root}/FlyingChairs_release/data",
                                              padding_factor=args.padding_factor))
         elif val == "things":
-            results.update(E.validate_things(model, params, infer,
-                                             root=f"{args.datasets_root}/FlyingThings3D",
-                                             padding_factor=args.padding_factor,
-                                             inference_size=size))
+            dstypes = ["frames_cleanpass"]
+            if not args.val_things_clean_only:
+                dstypes.append("frames_finalpass")
+            for dstype in dstypes:
+                results.update(E.validate_things(model, params, infer,
+                                                 root=f"{args.datasets_root}/FlyingThings3D",
+                                                 dstype=dstype,
+                                                 padding_factor=args.padding_factor,
+                                                 inference_size=size))
         elif val == "sintel":
             for dstype in ("clean", "final"):
                 results.update(E.validate_sintel(model, params, infer,
@@ -76,6 +89,7 @@ def run_eval(args):
                                                  padding_factor=args.padding_factor,
                                                  with_speed_metric=args.with_speed_metric,
                                                  count_time=args.count_time,
+                                                 evaluate_matched_unmatched=args.evaluate_matched_unmatched,
                                                  inference_size=size))
         elif val == "kitti":
             results.update(E.validate_kitti(model, params, infer,
@@ -86,6 +100,13 @@ def run_eval(args):
             raise ValueError(f"unknown val_dataset {val}")
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
+    if args.save_eval_to_file:
+        import os
+
+        from unimatch_tpu.cli import _append_val_results
+
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        _append_val_results(args.checkpoint_dir, 0, results)
     return results
 
 
@@ -103,8 +124,9 @@ def main(args):
             padding_factor=args.padding_factor,
             inference_size=tuple(args.inference_size) if args.inference_size else None,
             pred_bidir_flow=args.pred_bidir_flow,
-            fwd_bwd_consistency_check=args.fwd_bwd_consistency_check,
-            save_flo_flow=not args.no_save_flo,
+            pred_bwd_flow=args.pred_bwd_flow,
+            fwd_bwd_consistency_check=args.fwd_bwd_check,
+            save_flo_flow=args.save_flo_flow,
             save_video=args.save_video,
             concat_flow_img=args.concat_flow_img,
         )
@@ -126,12 +148,15 @@ def main(args):
                                            root=f"{args.datasets_root}/Sintel",
                                            output_path=args.output_path,
                                            padding_factor=args.padding_factor,
+                                           save_vis_flow=args.save_vis_flow,
+                                           no_save_flo=args.no_save_flo,
                                            inference_size=size)
             elif val == "kitti":
                 E.create_kitti_submission(model, params, infer,
                                           root=f"{args.datasets_root}/KITTI",
                                           output_path=args.output_path,
                                           padding_factor=args.padding_factor,
+                                          save_vis_flow=args.save_vis_flow,
                                           inference_size=size)
         return
 

@@ -13,6 +13,7 @@ def get_args_parser():
     parser = argparse.ArgumentParser("unimatch_tpu stereo")
     add_common_args(parser)
     parser.add_argument("--stage", default="sceneflow", type=str)
+    parser.add_argument("--task", default="stereo", choices=["stereo"], type=str)
     parser.add_argument("--img_height", default=384, type=int)
     parser.add_argument("--img_width", default=768, type=int)
     parser.add_argument("--val_dataset", default=["kitti15"], type=str, nargs="+")
@@ -29,6 +30,8 @@ def get_args_parser():
     parser.add_argument("--pred_bidir_disp", action="store_true")
     parser.add_argument("--pred_right_disp", action="store_true")
     parser.add_argument("--save_pfm_disp", action="store_true")
+    parser.add_argument("--save_vis_disp", action="store_true")
+    parser.add_argument("--save_dir", default=None, type=str)
     return parser
 
 
@@ -80,22 +83,27 @@ def main(args):
         params = _load_params(args, model, infer)
         size = tuple(args.inference_size) if args.inference_size else None
         kw = dict(padding_factor=args.padding_factor, inference_size=size)
+        if not args.submission:
+            kw["count_time"] = args.count_time
         results = {}
         for val in args.val_dataset:
             if args.submission:
                 if val == "kitti15":
                     E.create_kitti_submission(model, params, infer,
                                               root=f"{args.datasets_root}/KITTI/stereo/kitti_2015",
-                                              output_path=args.output_path, **kw)
+                                              output_path=args.output_path,
+                                              save_vis_disp=args.save_vis_disp, **kw)
                 elif val == "eth3d":
                     E.create_eth3d_submission(model, params, infer,
                                               root=f"{args.datasets_root}/ETH3D",
-                                              output_path=args.output_path, **kw)
+                                              output_path=args.output_path,
+                                              save_vis_disp=args.save_vis_disp, **kw)
                 elif val == "middlebury":
                     E.create_middlebury_submission(
                         model, params, infer,
                         root=f"{args.datasets_root}/Middlebury/MiddEval3",
                         output_path=args.output_path,
+                        save_vis_disp=args.save_vis_disp,
                         resolution=args.middlebury_resolution, **kw)
                 continue
             if val == "things":

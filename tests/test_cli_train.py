@@ -74,12 +74,29 @@ def test_cli_parsers_accept_reference_flags():
         "--corr_radius_list -1 4 --prop_radius_list -1 1 --reg_refine "
         "--num_reg_refine 6 --padding_factor 32 --with_speed_metric".split()
     )
+    # flags used by the reference demo/eval scripts (gmflow_demo.sh etc.)
+    args = main_flow.get_args_parser().parse_args(
+        "--inference_dir demo --pred_bidir_flow --fwd_bwd_check --pred_bwd_flow "
+        "--save_flo_flow --save_video --concat_flow_img --save_eval_to_file "
+        "--evaluate_matched_unmatched --val_things_clean_only --gamma 0.9 "
+        "--task flow --launcher pytorch --local_rank 0 --distributed".split()
+    )
+    assert args.fwd_bwd_check and args.pred_bwd_flow and args.gamma == 0.9
     main_stereo.get_args_parser().parse_args(
         "--attn_type self_swin2d_cross_swin1d --num_scales 2 --upsample_factor 4 "
         "--attn_splits_list 2 8 --corr_radius_list -1 4 --prop_radius_list -1 1 "
-        "--reg_refine --num_reg_refine 3 --middlebury_resolution F".split()
+        "--reg_refine --num_reg_refine 3 --middlebury_resolution F "
+        "--save_vis_disp --save_dir out --task stereo".split()
     )
     main_depth.get_args_parser().parse_args(
         "--num_scales 1 --attn_splits_list 2 --prop_radius_list -1 "
         "--reg_refine --num_reg_refine 1 --min_depth 0.5 --max_depth 10".split()
     )
+    # reference main_depth.py flag names: --dataset (not --stage), --workers,
+    # --demon_split, --save_vis_depth, --depth_grad_loss_weight
+    args = main_depth.get_args_parser().parse_args(
+        "--dataset demon --workers 2 --demon_split sun3d --save_vis_depth "
+        "--save_dir out --depth_loss_weight 20 --depth_grad_loss_weight 0".split()
+    )
+    assert args.stage == "demon" and args.num_workers == 2
+    assert args.demon_split == "sun3d" and args.depth_grad_loss_weight == 0

@@ -100,5 +100,6 @@ def test_inference_flow_bidir_occlusion(tmp_path):
         pred_bidir_flow=True,
         fwd_bwd_consistency_check=True,
     )
-    assert any(f.endswith("_occ.png") for f in written)
+    assert any(f.endswith("_occ_fwd.png") for f in written)
+    assert any(f.endswith("_occ_bwd.png") for f in written)
     assert any(f.endswith("_flow_bwd.png") for f in written)

@@ -60,6 +60,14 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--count_time", action="store_true")
     parser.add_argument("--bf16", action="store_true", help="bf16 params/activations")
     parser.add_argument("--datasets_root", default="datasets", type=str)
+    # CUDA-reference launcher flags, accepted for script compatibility but
+    # unused on TPU: the JAX runtime discovers devices/processes itself
+    # (parallel/mesh.py; reference utils/dist_utils.py:12-71)
+    parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("--launcher", default="none", type=str)
+    parser.add_argument("--gpu_ids", default=[0], type=int, nargs="+")
+    parser.add_argument("--local_rank", default=0, type=int)
+    parser.add_argument("--debug", action="store_true")
 
 
 def build_model_and_infer(args, task: str):
@@ -182,7 +190,16 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
             state = state.replace(params=jax.tree.map(jnp.asarray, params))
         print(f"=> resumed from {args.resume} at step {int(state.step)}")
 
-    step_fn = make_train_step(model, infer, mesh=mesh)
+    loss_kwargs = {}
+    if hasattr(args, "gamma"):
+        loss_kwargs["gamma"] = args.gamma
+    if task == "flow" and hasattr(args, "max_flow"):
+        loss_kwargs["max_flow"] = float(args.max_flow)
+    if task == "depth" and hasattr(args, "depth_loss_weight"):
+        loss_kwargs["depth_loss_weight"] = args.depth_loss_weight
+    if task == "depth" and hasattr(args, "depth_grad_loss_weight"):
+        loss_kwargs["depth_grad_loss_weight"] = args.depth_grad_loss_weight
+    step_fn = make_train_step(model, infer, mesh=mesh, **loss_kwargs)
     logger = Logger(args.checkpoint_dir, summary_freq=args.summary_freq,
                     start_step=int(state.step))
 

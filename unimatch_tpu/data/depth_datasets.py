@@ -216,7 +216,10 @@ class ScannetDataset:
 class DemonDataset:
     """DeMoN two-view dataset (reference datasets.py:120-201)."""
 
-    def __init__(self, data_dir="datasets/Demon", mode="train", transforms=None):
+    def __init__(self, data_dir="datasets/Demon", mode="train", transforms=None,
+                 split: str = None):
+        """`split` filters scenes by source sub-dataset (rgbd/sun3d/scenes11/mvs),
+        matching the reference's --demon_split (main_depth.py:39)."""
         data_dir = osp.join(data_dir, "test" if "test" in mode else "train")
         self.transforms = transforms
         self.samples: List = []
@@ -225,6 +228,7 @@ class DemonDataset:
             osp.join(data_dir, d)
             for d in sorted(os.listdir(data_dir))
             if osp.isdir(osp.join(data_dir, d)) and mode in d
+            and (split is None or d.startswith(split))
         ]
         for scene in scenes:
             K = np.genfromtxt(osp.join(scene, "cam.txt")).astype(np.float32).reshape(3, 3)

@@ -8,6 +8,7 @@ Capability parity with reference evaluate_depth.py:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict
 
@@ -45,7 +46,12 @@ def compute_depth_errors(gt: np.ndarray, pred: np.ndarray) -> Dict[str, float]:
 
 def validate_dataset(ds, model, params, infer: InferenceConfig,
                      eval_min_depth: float = 0.5, eval_max_depth: float = 10.0,
-                     count_time: bool = False) -> Dict[str, float]:
+                     count_time: bool = False,
+                     save_vis_depth: bool = False,
+                     save_dir: str = None) -> Dict[str, float]:
+    if save_vis_depth:
+        assert save_dir is not None, "--save_vis_depth needs --save_dir"
+        os.makedirs(save_dir, exist_ok=True)
     fwd = _jit_depth(model, infer)
     accum: Dict[str, list] = {}
     total_time, num_timed = 0.0, 0
@@ -62,6 +68,13 @@ def validate_dataset(ds, model, params, infer: InferenceConfig,
         if count_time and i >= 5:
             total_time += time.perf_counter() - t0
             num_timed += 1
+        if save_vis_depth:
+            from PIL import Image
+
+            from unimatch_tpu.utils.visualization import viz_depth_tensor
+
+            Image.fromarray(viz_depth_tensor(pred)).save(
+                os.path.join(save_dir, f"{i:06d}_depth.png"))
         gt = s["depth_gt"]
         mask = (s["valid"] > 0.5) & (gt >= eval_min_depth) & (gt <= eval_max_depth)
         if mask.sum() == 0:
@@ -85,10 +98,12 @@ def validate_scannet(model, params, infer: InferenceConfig, root: str = "dataset
 
 
 def validate_demon(model, params, infer: InferenceConfig, root: str = "datasets/Demon",
-                   **kw) -> Dict[str, float]:
+                   split: str = "rgbd", **kw) -> Dict[str, float]:
     from unimatch_tpu.data.depth_datasets import DemonDataset, Compose, NormalizeImages
 
-    ds = require_samples(DemonDataset(data_dir=root, mode="test", transforms=Compose([NormalizeImages()])), root)
+    ds = require_samples(
+        DemonDataset(data_dir=root, mode="test", split=split,
+                     transforms=Compose([NormalizeImages()])), root)
     return validate_dataset(ds, model, params, infer, **kw)
 
 

@@ -191,8 +191,10 @@ def validate_kitti(model, params, infer: InferenceConfig, root: str = "datasets/
 
 def create_sintel_submission(model, params, infer: InferenceConfig, root: str = "datasets/Sintel",
                              output_path: str = "sintel_submission", padding_factor: int = 8,
+                             save_vis_flow: bool = False, no_save_flo: bool = False,
                              inference_size: Optional[Tuple[int, int]] = None) -> None:
     from unimatch_tpu.data.flow_datasets import MpiSintel
+    from unimatch_tpu.utils.flow_viz import save_vis_flow_tofile
 
     fwd = _jit_flow(model, infer)
     for dstype in ("clean", "final"):
@@ -203,13 +205,18 @@ def create_sintel_submission(model, params, infer: InferenceConfig, root: str = 
             flow = _run_padded(fwd, params, s["img0"], s["img1"], padding_factor, inference_size)
             out_dir = os.path.join(output_path, dstype, scene)
             os.makedirs(out_dir, exist_ok=True)
-            frame_utils.write_flo(os.path.join(out_dir, "frame%04d.flo" % (frame_id + 1)), flow)
+            if not no_save_flo:
+                frame_utils.write_flo(os.path.join(out_dir, "frame%04d.flo" % (frame_id + 1)), flow)
+            if save_vis_flow:  # reference evaluate_flow.py:74-78: colorized png instead
+                save_vis_flow_tofile(flow, os.path.join(out_dir, "frame%04d.png" % (frame_id + 1)))
 
 
 def create_kitti_submission(model, params, infer: InferenceConfig, root: str = "datasets/KITTI",
                             output_path: str = "kitti_submission", padding_factor: int = 8,
+                            save_vis_flow: bool = False,
                             inference_size: Optional[Tuple[int, int]] = None) -> None:
     from unimatch_tpu.data.flow_datasets import KITTI
+    from unimatch_tpu.utils.flow_viz import save_vis_flow_tofile
 
     ds = require_samples(KITTI(aug_params=None, split="testing", root=root), root)
     fwd = _jit_flow(model, infer)
@@ -218,4 +225,7 @@ def create_kitti_submission(model, params, infer: InferenceConfig, root: str = "
         s = ds[i]
         (frame_id,) = s["extra"]
         flow = _run_padded(fwd, params, s["img0"], s["img1"], padding_factor, inference_size)
-        frame_utils.write_kitti_flow_png(os.path.join(output_path, frame_id), flow)
+        if save_vis_flow:
+            save_vis_flow_tofile(flow, os.path.join(output_path, frame_id))
+        else:
+            frame_utils.write_kitti_flow_png(os.path.join(output_path, frame_id), flow)

@@ -25,6 +25,15 @@ from unimatch_tpu.ops import geometry as G
 from unimatch_tpu.utils import frame_utils
 
 
+
+def _save_vis_disp(path, disp):
+    """Colorized disparity png (reference evaluate_stereo.py:184-187)."""
+    from PIL import Image
+
+    from unimatch_tpu.utils.visualization import vis_disparity
+
+    Image.fromarray(vis_disparity(disp)).save(path)
+
 def _jit_stereo(model, infer: InferenceConfig):
     @jax.jit
     def fwd(params, left, right):
@@ -70,9 +79,11 @@ def _metrics(pred: np.ndarray, gt: np.ndarray, valid: np.ndarray, prefix: str) -
 
 
 def _validate(ds, model, params, infer, prefix, padding_factor=32, inference_size=None,
-              max_disp: Optional[float] = None) -> Dict[str, float]:
+              max_disp: Optional[float] = None,
+              count_time: bool = False) -> Dict[str, float]:
     fwd = _jit_stereo(model, infer)
     accum: Dict[str, list] = {}
+    total_time, num_timed = 0.0, 0
     for i in range(len(ds)):
         s = ds[i]
         valid = s["valid"]
@@ -81,10 +92,18 @@ def _validate(ds, model, params, infer, prefix, padding_factor=32, inference_siz
         if valid.max() < 1:
             continue
         # dataset returns normalized images when a transform is set; here raw
+        if count_time and i >= 5:  # warmup skip (reference evaluate_stereo timing)
+            t0 = time.perf_counter()
         pred = _predict_disp(fwd, params, s["img0"], s["img1"], padding_factor, inference_size)
+        if count_time and i >= 5:
+            total_time += time.perf_counter() - t0
+            num_timed += 1
         for k, val in _metrics(pred, s["disp_gt"], valid, prefix).items():
             accum.setdefault(k, []).append(val)
-    return {k: float(np.mean(v)) for k, v in accum.items()}
+    out = {k: float(np.mean(v)) for k, v in accum.items()}
+    if count_time and num_timed:
+        out[f"{prefix}_time_per_pair_ms"] = 1000.0 * total_time / num_timed
+    return out
 
 
 def validate_things(model, params, infer, root="datasets/FlyingThings3D", **kw):
@@ -118,7 +137,7 @@ def validate_middlebury(model, params, infer, root="datasets/Middlebury/MiddEval
 
 def create_kitti_submission(model, params, infer, root="datasets/KITTI/stereo/kitti_2015",
                             output_path="kitti_stereo_submission", padding_factor=32,
-                            inference_size=None):
+                            save_vis_disp=False, inference_size=None):
     from unimatch_tpu.data.stereo_datasets import KITTI15
 
     ds = require_samples(KITTI15(root, mode="testing", save_filename=True), root)
@@ -127,12 +146,16 @@ def create_kitti_submission(model, params, infer, root="datasets/KITTI/stereo/ki
     for i in range(len(ds)):
         s = ds[i]
         pred = _predict_disp(fwd, params, s["left"], s["right"], padding_factor, inference_size)
-        frame_utils.write_kitti_disp_png(os.path.join(output_path, s["left_name"]), pred)
+        out = os.path.join(output_path, s["left_name"])
+        if save_vis_disp:  # colorized png instead of the uint16 submission format
+            _save_vis_disp(out, pred)
+        else:
+            frame_utils.write_kitti_disp_png(out, pred)
 
 
 def create_eth3d_submission(model, params, infer, root="datasets/ETH3D",
                             output_path="eth3d_submission", padding_factor=32,
-                            inference_size=None):
+                            save_vis_disp=False, inference_size=None):
     from unimatch_tpu.data.stereo_datasets import ETH3DStereo
 
     ds = require_samples(ETH3DStereo(root, mode="test", save_filename=True), root)
@@ -144,6 +167,9 @@ def create_eth3d_submission(model, params, infer, root="datasets/ETH3D",
         pred = _predict_disp(fwd, params, s["left"], s["right"], padding_factor, inference_size)
         runtime = time.perf_counter() - t0
         scene = os.path.basename(os.path.dirname(s["left_name"]))
+        if save_vis_disp:
+            _save_vis_disp(os.path.join(output_path, f"{scene}.png"), pred)
+            continue
         frame_utils.write_pfm(os.path.join(output_path, f"{scene}.pfm"), pred)
         with open(os.path.join(output_path, f"{scene}.txt"), "w") as f:
             f.write(f"runtime {runtime}\n")
@@ -151,7 +177,7 @@ def create_eth3d_submission(model, params, infer, root="datasets/ETH3D",
 
 def create_middlebury_submission(model, params, infer, root="datasets/Middlebury/MiddEval3",
                                  output_path="middlebury_submission", resolution="F",
-                                 padding_factor=32, inference_size=None):
+                                 padding_factor=32, save_vis_disp=False, inference_size=None):
     from unimatch_tpu.data.stereo_datasets import MiddleburyEval3
 
     ds = require_samples(MiddleburyEval3(root, mode="test", resolution=resolution, save_filename=True), root)
@@ -164,6 +190,9 @@ def create_middlebury_submission(model, params, infer, root="datasets/Middlebury
         scene = os.path.basename(os.path.dirname(s["left_name"]))
         out_dir = os.path.join(output_path, f"test{resolution}", scene)
         os.makedirs(out_dir, exist_ok=True)
+        if save_vis_disp:
+            _save_vis_disp(os.path.join(out_dir, "disp0GM.png"), pred)
+            continue
         frame_utils.write_pfm(os.path.join(out_dir, "disp0GM.pfm"), pred)
         with open(os.path.join(out_dir, "timeGM.txt"), "w") as f:
             f.write(f"{runtime}\n")

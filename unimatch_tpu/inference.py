@@ -75,6 +75,7 @@ def inference_flow(
     padding_factor: int = 8,
     inference_size: Optional[Tuple[int, int]] = None,
     pred_bidir_flow: bool = False,
+    pred_bwd_flow: bool = False,
     fwd_bwd_consistency_check: bool = False,
     save_flo_flow: bool = False,
     save_video: bool = False,
@@ -107,6 +108,8 @@ def inference_flow(
     for i in range(len(images) - 1):
         img0 = jnp.asarray(images[i])[None]
         img1 = jnp.asarray(images[i + 1])[None]
+        if pred_bwd_flow:  # reference evaluate_flow.py:735-736: swap the pair
+            img0, img1 = img1, img0
 
         # portrait-orientation trick: run transposed (reference :714-717)
         transpose = img0.shape[1] > img0.shape[2]
@@ -149,11 +152,12 @@ def inference_flow(
                 fwd_occ, bwd_occ = G.forward_backward_consistency_check(flow[:1], flow[1:2])
                 from PIL import Image
 
-                occ_path = base + "_occ.png"
-                Image.fromarray(
-                    (np.asarray(fwd_occ[0]) * 255).astype(np.uint8)
-                ).save(occ_path)
-                written.append(occ_path)
+                for occ, suffix in ((fwd_occ, "_occ_fwd.png"), (bwd_occ, "_occ_bwd.png")):
+                    occ_path = base + suffix
+                    Image.fromarray(
+                        (np.asarray(occ[0]) * 255).astype(np.uint8)
+                    ).save(occ_path)
+                    written.append(occ_path)
 
     if save_video and video_frames:
         import imageio

@@ -85,16 +85,23 @@ def create_train_state(
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
 
 
-def task_loss(task: str, preds, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+def task_loss(task: str, preds, batch, gamma: float = 0.9, max_flow: float = 400.0,
+              depth_loss_weight: float = 20.0,
+              depth_grad_loss_weight: float = 20.0) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     if task == "flow":
-        return flow_loss(preds, batch["flow_gt"], batch["valid"])
+        return flow_loss(preds, batch["flow_gt"], batch["valid"], gamma=gamma, max_flow=max_flow)
     if task == "stereo":
-        return stereo_loss(preds, batch["disp_gt"], batch["valid"])
+        return stereo_loss(preds, batch["disp_gt"], batch["valid"], gamma=gamma)
     if task == "depth":
-        # reference main_depth.py:381-401: L1 + gradient loss, both x20
+        # reference main_depth.py:381-401: weighted L1 + optional gradient loss
         l1 = depth_loss(preds, batch["depth_gt"], batch["valid"])
-        gr = depth_grad_loss(preds, batch["depth_gt"], batch["valid"])
-        return 20.0 * l1 + 20.0 * gr, {"depth_l1": l1, "depth_grad": gr}
+        metrics = {"depth_l1": l1}
+        total = depth_loss_weight * l1
+        if depth_grad_loss_weight > 0:
+            gr = depth_grad_loss(preds, batch["depth_gt"], batch["valid"])
+            total = total + depth_grad_loss_weight * gr
+            metrics["depth_grad"] = gr
+        return total, metrics
     raise ValueError(task)
 
 
@@ -102,6 +109,7 @@ def make_train_step(
     model,
     infer: InferenceConfig,
     mesh: Optional[Mesh] = None,
+    **loss_kwargs,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jit'd data-parallel train step for the model's task."""
     task = model.config.task
@@ -113,7 +121,7 @@ def make_train_step(
         preds = model.apply(
             {"params": params}, batch["img0"], batch["img1"], infer=infer, training=True, **kwargs
         )["flow_preds"]
-        loss, metrics = task_loss(task, preds, batch)
+        loss, metrics = task_loss(task, preds, batch, **loss_kwargs)
         return loss, metrics
 
     def step_fn(state: TrainState, batch):
