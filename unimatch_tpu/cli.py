@@ -123,7 +123,9 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
     from unimatch_tpu.data.loader import DataLoader, device_prefetch
     from unimatch_tpu.logger import Logger
     from unimatch_tpu.parallel import make_mesh, make_train_step
-    from unimatch_tpu.parallel.train import TrainState, create_train_state, make_optimizer
+    from unimatch_tpu.parallel.train import (
+        TrainState, create_train_state, make_lr_schedule, make_optimizer,
+    )
 
     np.random.seed(args.seed)
     save_run_metadata(args)
@@ -150,6 +152,7 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
         lr=args.lr, total_steps=args.num_steps,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
     )
+    lr_schedule = make_lr_schedule(args.lr, args.num_steps)
     example = example_batch_fn(args)
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example, infer, tx=tx)
 
@@ -211,22 +214,34 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
         for batch in device_prefetch(loader, mesh=mesh):
             state, metrics = step_fn(state, batch)
             total_steps += 1
+            pred = metrics.pop("_pred", None)  # fetched only on summary steps
             logger.push(jax.device_get(metrics))
 
             if total_steps % args.summary_freq == 0:
                 dt = (time.perf_counter() - t_last) / args.summary_freq
                 t_last = time.perf_counter()
                 loss = float(jax.device_get(metrics["loss"]))
-                print(f"step {total_steps} loss {loss:.4f} ({dt*1000:.0f} ms/step)")
-                if task == "flow" and "flow_gt" in batch:
-                    # colorized flow panel (reference logger.py:39-61)
-                    try:
-                        img0_np = np.asarray(jax.device_get(batch["img0"][0]))
+                lr_now = float(lr_schedule(total_steps))
+                logger.add_scalar("train/lr", lr_now, total_steps)
+                print(f"step {total_steps} loss {loss:.4f} lr {lr_now:.2e} "
+                      f"({dt*1000:.0f} ms/step)")
+                try:
+                    img0_np = np.asarray(jax.device_get(batch["img0"][0]))
+                    pred_np = None if pred is None else np.asarray(
+                        jax.device_get(pred[0]), np.float32)
+                    if task == "flow" and "flow_gt" in batch and pred_np is not None:
+                        # colorized flow panel (reference logger.py:39-61)
                         img1_np = np.asarray(jax.device_get(batch["img1"][0]))
                         gt_np = np.asarray(jax.device_get(batch["flow_gt"][0]))
-                        logger.add_image_summary(img0_np, img1_np, gt_np, gt_np, total_steps)
-                    except Exception:
-                        pass
+                        logger.add_image_summary(img0_np, img1_np, pred_np, gt_np, total_steps)
+                    elif task == "stereo" and "disp_gt" in batch and pred_np is not None:
+                        gt_np = np.asarray(jax.device_get(batch["disp_gt"][0]))
+                        logger.add_disp_image_summary(img0_np, pred_np, gt_np, total_steps)
+                    elif task == "depth" and "depth_gt" in batch and pred_np is not None:
+                        gt_np = np.asarray(jax.device_get(batch["depth_gt"][0]))
+                        logger.add_depth_image_summary(img0_np, pred_np, gt_np, total_steps)
+                except Exception:
+                    pass  # image summaries are best-effort
 
             if total_steps % args.save_ckpt_freq == 0 or total_steps == args.num_steps:
                 ckpt.save_params(

@@ -40,6 +40,7 @@ class Logger:
 
     def add_image_summary(self, img0: np.ndarray, img1: np.ndarray, flow_pred: np.ndarray,
                           flow_gt: Optional[np.ndarray] = None, step: Optional[int] = None) -> None:
+        """img0 | img1 | colorized pred | colorized gt (reference logger.py:39-61)."""
         from unimatch_tpu.utils.flow_viz import flow_to_image
 
         panel = [img0.astype(np.uint8), img1.astype(np.uint8), flow_to_image(flow_pred)]
@@ -47,6 +48,27 @@ class Logger:
             panel.append(flow_to_image(flow_gt))
         img = np.concatenate(panel, axis=0)
         self.writer.add_image("train/panel", img.transpose(2, 0, 1),
+                              step if step is not None else self.total_steps)
+
+    def add_disp_image_summary(self, left: np.ndarray, disp_pred: np.ndarray,
+                               disp_gt: np.ndarray, step: Optional[int] = None) -> None:
+        """left | inferno pred | inferno gt | KITTI error map (reference main_stereo.py:446-475)."""
+        from unimatch_tpu.utils.visualization import disp_error_img, vis_disparity
+
+        panel = [left.astype(np.uint8), vis_disparity(disp_pred), vis_disparity(disp_gt),
+                 disp_error_img(disp_pred, disp_gt)]
+        img = np.concatenate(panel, axis=0)
+        self.writer.add_image("train/disp_panel", img.transpose(2, 0, 1),
+                              step if step is not None else self.total_steps)
+
+    def add_depth_image_summary(self, img: np.ndarray, depth_pred: np.ndarray,
+                                depth_gt: np.ndarray, step: Optional[int] = None) -> None:
+        """img | plasma inverse-depth pred | gt (reference logger.py:63-71)."""
+        from unimatch_tpu.utils.visualization import viz_depth_tensor
+
+        panel = [img.astype(np.uint8), viz_depth_tensor(depth_pred), viz_depth_tensor(depth_gt)]
+        img_out = np.concatenate(panel, axis=0)
+        self.writer.add_image("train/depth_panel", img_out.transpose(2, 0, 1),
                               step if step is not None else self.total_steps)
 
     def close(self):

@@ -39,6 +39,27 @@ class TrainState(struct.PyTreeNode):
         return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
 
 
+def make_lr_schedule(
+    lr: float = 4e-4,
+    total_steps: int = 100_000,
+    pct_start: float = 0.05,
+) -> optax.Schedule:
+    """OneCycle cosine schedule, matching torch OneCycleLR defaults.
+
+    optax's onecycle emits NaN for every step when a phase rounds to zero
+    steps; keep the warmup phase >= 1 step for tiny (smoke-run) step counts.
+    """
+    total_steps = max(total_steps, 2)
+    pct_start = max(pct_start, 1.0 / total_steps)
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=lr,
+        pct_start=pct_start,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+
+
 def make_optimizer(
     lr: float = 4e-4,
     total_steps: int = 100_000,
@@ -46,18 +67,8 @@ def make_optimizer(
     grad_clip: float = 1.0,
     pct_start: float = 0.05,
 ) -> optax.GradientTransformation:
-    """AdamW + OneCycle cosine schedule, matching torch OneCycleLR defaults."""
-    # optax's onecycle emits NaN for every step when a phase rounds to zero
-    # steps; keep the warmup phase >= 1 step for tiny (smoke-run) step counts.
-    total_steps = max(total_steps, 2)
-    pct_start = max(pct_start, 1.0 / total_steps)
-    schedule = optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=lr,
-        pct_start=pct_start,
-        div_factor=25.0,
-        final_div_factor=1e4,
-    )
+    """AdamW + OneCycle schedule + clip + NaN-skip (reference main_flow.py:209-210)."""
+    schedule = make_lr_schedule(lr, total_steps, pct_start)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, weight_decay=weight_decay),
@@ -122,6 +133,9 @@ def make_train_step(
             {"params": params}, batch["img0"], batch["img1"], infer=infer, training=True, **kwargs
         )["flow_preds"]
         loss, metrics = task_loss(task, preds, batch, **loss_kwargs)
+        # final prediction rides along for image summaries; the train loop
+        # pops it before pushing scalar metrics (reference logger.py:39-71)
+        metrics = dict(metrics, _pred=preds[-1])
         return loss, metrics
 
     def step_fn(state: TrainState, batch):
