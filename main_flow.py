@@ -95,6 +95,8 @@ def run_eval(args):
             results.update(E.validate_kitti(model, params, infer,
                                             root=f"{args.datasets_root}/KITTI",
                                             padding_factor=args.padding_factor,
+                                            with_speed_metric=args.with_speed_metric,
+                                            count_time=args.count_time,
                                             inference_size=size))
         else:
             raise ValueError(f"unknown val_dataset {val}")

@@ -117,3 +117,34 @@ def test_loader_epoch_shuffle_and_shard(tmp_path):
     n0 = sum(1 for _ in l0)
     n1 = sum(1 for _ in l1)
     assert n0 == n1 == len(ds) // 2 // 2
+
+
+def test_loader_augmentation_deterministic_across_worker_counts(tmp_path):
+    """Per-sample (seed, epoch, index) RNG: identical augmented batches for
+    any num_workers (the reference only guarantees per-worker streams)."""
+    root = str(tmp_path / "Sintel")
+    _make_sintel(root, scenes=2, frames=4)
+
+    def batches(num_workers):
+        ds = MpiSintel(aug_params={"crop_size": (48, 64)}, split="training",
+                       dstype="clean", root=root)
+        loader = DataLoader(ds, batch_size=2, num_workers=num_workers, seed=7)
+        loader.set_epoch(2)
+        return [b for b in loader]
+
+    b1 = batches(1)
+    b4 = batches(4)
+    assert len(b1) == len(b4) > 0
+    for x, y in zip(b1, b4):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+    # different epoch -> different augmentation stream
+    ds = MpiSintel(aug_params={"crop_size": (48, 64)}, split="training",
+                   dstype="clean", root=root)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=7, shuffle=False)
+    loader.set_epoch(0)
+    e0 = [b["img0"].copy() for b in loader]
+    loader.set_epoch(1)
+    e1 = [b["img0"].copy() for b in loader]
+    assert any((a != b).any() for a, b in zip(e0, e1))

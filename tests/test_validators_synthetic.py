@@ -43,8 +43,14 @@ def test_validate_kitti_synthetic(tmp_path):
     root = str(tmp_path / "KITTI")
     _make_kitti(root, n=2)
     model, params, infer = _flow_model()
-    out = validate_kitti(model, params, infer, root=root, padding_factor=16)
+    out = validate_kitti(model, params, infer, root=root, padding_factor=16,
+                         with_speed_metric=True)
     assert np.isfinite(out["kitti_epe"]) and np.isfinite(out["kitti_f1"])
+    assert "kitti_s0_10" in out and "kitti_s10_40" in out and "kitti_s40+" in out
+    # per-image averaging variant (reference average_over_pixels=False)
+    out2 = validate_kitti(model, params, infer, root=root, padding_factor=16,
+                          average_over_pixels=False)
+    assert np.isfinite(out2["kitti_epe"])
 
 
 def test_sintel_submission_synthetic(tmp_path):

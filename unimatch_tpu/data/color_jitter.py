@@ -51,10 +51,15 @@ class ColorJitter:
         self.contrast = contrast
         self.saturation = saturation
         self.hue = hue
-        self.rng = rng or np.random
+        self.rng = rng
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
-        rng = self.rng
+        if self.rng is None:
+            from unimatch_tpu.data.rng import get_rng
+
+            rng = get_rng()
+        else:
+            rng = self.rng
         ops = []
         if self.brightness > 0:
             f = rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)

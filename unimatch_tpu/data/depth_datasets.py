@@ -19,11 +19,12 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-import random
 from glob import glob
 from typing import List, Optional
 
 import numpy as np
+
+from unimatch_tpu.data.rng import get_rng
 
 from unimatch_tpu.data import color_jitter as CJ
 from unimatch_tpu.data.transforms_stereo import IMAGENET_MEAN, IMAGENET_STD
@@ -58,8 +59,8 @@ class RandomCrop:
     def __call__(self, sample):
         ch, cw = self.crop_size
         oh, ow = sample["img_ref"].shape[:2]
-        y0 = np.random.randint(oh - ch + 1)
-        x0 = np.random.randint(ow - cw + 1)
+        y0 = get_rng().randint(oh - ch + 1)
+        x0 = get_rng().randint(ow - cw + 1)
         for k in ("img_ref", "img_tgt", "depth", "valid"):
             if k in sample:
                 sample[k] = sample[k][y0 : y0 + ch, x0 : x0 + cw]
@@ -83,15 +84,15 @@ class RandomResize:
     def __call__(self, sample):
         import cv2
 
-        if np.random.random() < 0.5:
+        if get_rng().random() < 0.5:
             mh, mw = self.min_size
             oh, ow = sample["img_ref"].shape[:2]
             min_scale = max(mh / float(oh), mw / float(ow))
-            scale = 2 ** np.random.uniform(self.min_scale, self.max_scale)
+            scale = 2 ** get_rng().uniform(self.min_scale, self.max_scale)
             sx = sy = scale
-            if np.random.random() < self.stretch_prob:
-                sx *= 2 ** np.random.uniform(-self.max_stretch, self.max_stretch)
-                sy *= 2 ** np.random.uniform(-self.max_stretch, self.max_stretch)
+            if get_rng().random() < self.stretch_prob:
+                sx *= 2 ** get_rng().uniform(-self.max_stretch, self.max_stretch)
+                sy *= 2 ** get_rng().uniform(-self.max_stretch, self.max_stretch)
             sx, sy = max(sx, min_scale), max(sy, min_scale)
 
             for k in ("img_ref", "img_tgt", "depth"):
@@ -114,11 +115,11 @@ class RandomColorDepth:
     """Photometric jitter; target re-samples its parameter 20% of the time."""
 
     _OPS = [
-        (lambda: np.random.uniform(0.8, 1.2), CJ.adjust_contrast),
-        (lambda: np.random.uniform(0.7, 1.5), _adjust_gamma),
-        (lambda: np.random.uniform(0.5, 2.0), CJ.adjust_brightness),
-        (lambda: np.random.uniform(-0.1, 0.1), CJ.adjust_hue),
-        (lambda: np.random.uniform(0.8, 1.2), CJ.adjust_saturation),
+        (lambda: get_rng().uniform(0.8, 1.2), CJ.adjust_contrast),
+        (lambda: get_rng().uniform(0.7, 1.5), _adjust_gamma),
+        (lambda: get_rng().uniform(0.5, 2.0), CJ.adjust_brightness),
+        (lambda: get_rng().uniform(-0.1, 0.1), CJ.adjust_hue),
+        (lambda: get_rng().uniform(0.8, 1.2), CJ.adjust_saturation),
     ]
 
     def __init__(self, asymmetric=True):
@@ -127,16 +128,17 @@ class RandomColorDepth:
     def __call__(self, sample):
         ref = sample["img_ref"].astype(np.uint8)
         tgt = sample["img_tgt"].astype(np.uint8)
+        R = get_rng()
         ops = list(self._OPS)
-        if np.random.random() < 0.5:
-            ops = [random.choice(ops)]
+        if R.random() < 0.5:
+            ops = [ops[R.randint(len(ops))]]
         else:
-            random.shuffle(ops)
+            ops = [ops[i] for i in R.permutation(len(ops))]
         for sample_param, apply in ops:
-            if np.random.random() < 0.5:
+            if get_rng().random() < 0.5:
                 p = sample_param()
                 ref = apply(ref, p)
-                if self.asymmetric and np.random.random() < 0.2:
+                if self.asymmetric and get_rng().random() < 0.2:
                     p = sample_param()
                 tgt = apply(tgt, p)
         sample["img_ref"] = ref.astype(np.float32)

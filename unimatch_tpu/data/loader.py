@@ -66,11 +66,22 @@ class DataLoader:
         sample_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
+        from unimatch_tpu.data.rng import sample_rng_scope
+
+        epoch = self.epoch
+
+        def fetch(j):
+            # per-(seed, epoch, index) augmentation stream: reproducible for
+            # any num_workers / scheduling (reference seeds per *worker*,
+            # dataloader/flow/datasets.py:61-67 — this is strictly stronger)
+            with sample_rng_scope(self.seed, epoch, j):
+                return self.dataset[int(j)]
+
         def worker(batch_list):
             for bi, batch_idx in batch_list:
                 if stop.is_set():
                     return
-                samples = [self.dataset[int(j)] for j in batch_idx]
+                samples = [fetch(int(j)) for j in batch_idx]
                 out = {
                     k: np.stack([s[k] for s in samples]) for k in samples[0] if k != "extra"
                 }

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from unimatch_tpu.data.color_jitter import ColorJitter
+from unimatch_tpu.data.rng import get_rng
 
 
 class FlowAugmentor:
@@ -44,7 +45,8 @@ class FlowAugmentor:
         self.eraser_aug_prob = -1 if no_eraser_aug else 0.5
 
     def color_transform(self, img1, img2):
-        if np.random.rand() < self.asymmetric_color_aug_prob:
+        R = get_rng()
+        if R.rand() < self.asymmetric_color_aug_prob:
             img1 = self.photo_aug(img1)
             img2 = self.photo_aug(img2)
         else:
@@ -54,32 +56,34 @@ class FlowAugmentor:
         return img1, img2
 
     def eraser_transform(self, img1, img2, bounds=(50, 100)):
+        R = get_rng()
         ht, wd = img1.shape[:2]
-        if np.random.rand() < self.eraser_aug_prob:
+        if R.rand() < self.eraser_aug_prob:
             mean_color = np.mean(img2.reshape(-1, 3), axis=0)
-            for _ in range(np.random.randint(1, 3)):
-                x0 = np.random.randint(0, wd)
-                y0 = np.random.randint(0, ht)
-                dx = np.random.randint(bounds[0], bounds[1])
-                dy = np.random.randint(bounds[0], bounds[1])
+            for _ in range(R.randint(1, 3)):
+                x0 = R.randint(0, wd)
+                y0 = R.randint(0, ht)
+                dx = R.randint(bounds[0], bounds[1])
+                dy = R.randint(bounds[0], bounds[1])
                 img2[y0 : y0 + dy, x0 : x0 + dx, :] = mean_color
         return img1, img2
 
     def spatial_transform(self, img1, img2, flow, occlusion=None):
+        R = get_rng()
         import cv2
 
         ht, wd = img1.shape[:2]
         min_scale = max((self.crop_size[0] + 8) / float(ht), (self.crop_size[1] + 8) / float(wd))
 
-        scale = 2 ** np.random.uniform(self.min_scale, self.max_scale)
+        scale = 2 ** R.uniform(self.min_scale, self.max_scale)
         scale_x = scale_y = scale
-        if np.random.rand() < self.stretch_prob:
-            scale_x *= 2 ** np.random.uniform(-self.max_stretch, self.max_stretch)
-            scale_y *= 2 ** np.random.uniform(-self.max_stretch, self.max_stretch)
+        if R.rand() < self.stretch_prob:
+            scale_x *= 2 ** R.uniform(-self.max_stretch, self.max_stretch)
+            scale_y *= 2 ** R.uniform(-self.max_stretch, self.max_stretch)
         scale_x = max(scale_x, min_scale)
         scale_y = max(scale_y, min_scale)
 
-        if np.random.rand() < self.spatial_aug_prob:
+        if R.rand() < self.spatial_aug_prob:
             img1 = cv2.resize(img1, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
             img2 = cv2.resize(img2, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
             flow = cv2.resize(flow, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
@@ -90,19 +94,19 @@ class FlowAugmentor:
                 )
 
         if self.do_flip:
-            if np.random.rand() < self.h_flip_prob:
+            if R.rand() < self.h_flip_prob:
                 img1, img2 = img1[:, ::-1], img2[:, ::-1]
                 flow = flow[:, ::-1] * [-1.0, 1.0]
                 if occlusion is not None:
                     occlusion = occlusion[:, ::-1]
-            if np.random.rand() < self.v_flip_prob:
+            if R.rand() < self.v_flip_prob:
                 img1, img2 = img1[::-1, :], img2[::-1, :]
                 flow = flow[::-1, :] * [1.0, -1.0]
                 if occlusion is not None:
                     occlusion = occlusion[::-1, :]
 
-        y0 = np.random.randint(0, img1.shape[0] - self.crop_size[0]) if img1.shape[0] > self.crop_size[0] else 0
-        x0 = np.random.randint(0, img1.shape[1] - self.crop_size[1]) if img1.shape[1] > self.crop_size[1] else 0
+        y0 = R.randint(0, img1.shape[0] - self.crop_size[0]) if img1.shape[0] > self.crop_size[0] else 0
+        x0 = R.randint(0, img1.shape[1] - self.crop_size[1]) if img1.shape[1] > self.crop_size[1] else 0
 
         sl = np.s_[y0 : y0 + self.crop_size[0], x0 : x0 + self.crop_size[1]]
         img1, img2, flow = img1[sl], img2[sl], flow[sl]
@@ -151,28 +155,29 @@ class SparseFlowAugmentor(FlowAugmentor):
         return flow_img, valid_img
 
     def spatial_transform(self, img1, img2, flow, valid):
+        R = get_rng()
         import cv2
 
         ht, wd = img1.shape[:2]
         min_scale = max((self.crop_size[0] + 1) / float(ht), (self.crop_size[1] + 1) / float(wd))
 
-        scale = 2 ** np.random.uniform(self.min_scale, self.max_scale)
+        scale = 2 ** R.uniform(self.min_scale, self.max_scale)
         scale_x = max(scale, min_scale)
         scale_y = max(scale, min_scale)
 
-        if np.random.rand() < self.spatial_aug_prob:
+        if R.rand() < self.spatial_aug_prob:
             img1 = cv2.resize(img1, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
             img2 = cv2.resize(img2, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
             flow, valid = self.resize_sparse_flow_map(flow, valid, fx=scale_x, fy=scale_y)
 
-        if self.do_flip and np.random.rand() < self.h_flip_prob:
+        if self.do_flip and R.rand() < self.h_flip_prob:
             img1, img2 = img1[:, ::-1], img2[:, ::-1]
             flow = flow[:, ::-1] * [-1.0, 1.0]
             valid = valid[:, ::-1]
 
         margin_y, margin_x = 20, 50
-        y0 = np.random.randint(0, max(img1.shape[0] - self.crop_size[0] + margin_y, 1))
-        x0 = np.random.randint(-margin_x, max(img1.shape[1] - self.crop_size[1] + margin_x, -margin_x + 1))
+        y0 = R.randint(0, max(img1.shape[0] - self.crop_size[0] + margin_y, 1))
+        x0 = R.randint(-margin_x, max(img1.shape[1] - self.crop_size[1] + margin_x, -margin_x + 1))
         y0 = int(np.clip(y0, 0, max(img1.shape[0] - self.crop_size[0], 0)))
         x0 = int(np.clip(x0, 0, max(img1.shape[1] - self.crop_size[1], 0)))
 

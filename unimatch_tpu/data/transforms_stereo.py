@@ -14,10 +14,11 @@ Samples are dicts: left/right [H, W, 3] float, disp [H, W] float.
 
 from __future__ import annotations
 
-import random
 from typing import Optional, Sequence
 
 import numpy as np
+
+from unimatch_tpu.data.rng import get_rng
 
 from unimatch_tpu.data import color_jitter as CJ
 
@@ -62,8 +63,8 @@ class RandomCrop:
                 sample["disp"] = np.pad(sample["disp"], ((top, 0), (0, right)), mode="constant")
             oh, ow = sample["left"].shape[:2]
 
-        x0 = np.random.randint(ow - self.w + 1)
-        y0 = np.random.randint(oh - self.h + 1)
+        x0 = get_rng().randint(ow - self.w + 1)
+        y0 = get_rng().randint(oh - self.h + 1)
         for k in ("left", "right"):
             sample[k] = sample[k][y0 : y0 + self.h, x0 : x0 + self.w]
         if "disp" in sample:
@@ -73,7 +74,7 @@ class RandomCrop:
 
 class RandomVerticalFlip:
     def __call__(self, sample):
-        if np.random.random() < 0.5:
+        if get_rng().random() < 0.5:
             for k in ("left", "right"):
                 sample[k] = np.flipud(sample[k]).copy()
             sample["disp"] = np.flipud(sample["disp"]).copy()
@@ -100,10 +101,10 @@ class _PairPhotometric:
         raise NotImplementedError
 
     def __call__(self, sample):
-        if np.random.random() < self.prob:
+        if get_rng().random() < self.prob:
             p = self._sample_param()
             sample["left"] = self._apply(sample["left"], p)
-            if self.asymmetric and np.random.random() < 0.5:
+            if self.asymmetric and get_rng().random() < 0.5:
                 p = self._sample_param()
             sample["right"] = self._apply(sample["right"], p)
         return sample
@@ -111,7 +112,7 @@ class _PairPhotometric:
 
 class RandomContrast(_PairPhotometric):
     def _sample_param(self):
-        return np.random.uniform(0.8, 1.2)
+        return get_rng().uniform(0.8, 1.2)
 
     def _apply(self, img, p):
         return CJ.adjust_contrast(img, p)
@@ -119,7 +120,7 @@ class RandomContrast(_PairPhotometric):
 
 class RandomGamma(_PairPhotometric):
     def _sample_param(self):
-        return np.random.uniform(0.7, 1.5)
+        return get_rng().uniform(0.7, 1.5)
 
     def _apply(self, img, p):
         return _adjust_gamma(img, p)
@@ -127,7 +128,7 @@ class RandomGamma(_PairPhotometric):
 
 class RandomBrightness(_PairPhotometric):
     def _sample_param(self):
-        return np.random.uniform(0.5, 2.0)
+        return get_rng().uniform(0.5, 2.0)
 
     def _apply(self, img, p):
         return CJ.adjust_brightness(img, p)
@@ -135,7 +136,7 @@ class RandomBrightness(_PairPhotometric):
 
 class RandomHue(_PairPhotometric):
     def _sample_param(self):
-        return np.random.uniform(-0.1, 0.1)
+        return get_rng().uniform(-0.1, 0.1)
 
     def _apply(self, img, p):
         return CJ.adjust_hue(img, p)
@@ -143,7 +144,7 @@ class RandomHue(_PairPhotometric):
 
 class RandomSaturation(_PairPhotometric):
     def _sample_param(self):
-        return np.random.uniform(0.8, 1.2)
+        return get_rng().uniform(0.8, 1.2)
 
     def _apply(self, img, p):
         return CJ.adjust_saturation(img, p)
@@ -163,12 +164,12 @@ class RandomColor:
             RandomHue(self.asymmetric),
             RandomSaturation(self.asymmetric),
         ]
-        if np.random.random() < 0.5:
-            sample = random.choice(transforms)(sample)
+        R = get_rng()
+        if R.random() < 0.5:
+            sample = transforms[R.randint(len(transforms))](sample)
         else:
-            random.shuffle(transforms)
-            for t in transforms:
-                sample = t(sample)
+            for i in R.permutation(len(transforms)):
+                sample = transforms[i](sample)
         for k in ("left", "right"):
             sample[k] = sample[k].astype(np.float32)
         return sample
@@ -184,9 +185,9 @@ class RandomScale:
     def __call__(self, sample):
         import cv2
 
-        if np.random.rand() < 0.5:
+        if get_rng().rand() < 0.5:
             h, w = sample["disp"].shape
-            scale_x = 2 ** np.random.uniform(self.min_scale, self.max_scale)
+            scale_x = 2 ** get_rng().uniform(self.min_scale, self.max_scale)
             scale_x = max(scale_x, self.crop_width / float(w))
             interp = cv2.INTER_NEAREST if self.nearest_interp else cv2.INTER_LINEAR
             for k in ("left", "right"):
@@ -218,7 +219,7 @@ class RandomGrayscale:
         self.p = p
 
     def __call__(self, sample):
-        if np.random.random() < self.p:
+        if get_rng().random() < self.p:
             for k in ("left", "right"):
                 img = sample[k].astype(np.float32)
                 gray = img @ np.array([0.2989, 0.587, 0.114], np.float32)
@@ -235,12 +236,12 @@ class RandomRotateShiftRight:
     def __call__(self, sample):
         import cv2
 
-        if np.random.random() < self.p:
+        if get_rng().random() < self.p:
             angle, pixel = 0.1, 2
-            px = np.random.uniform(-pixel, pixel)
-            ag = np.random.uniform(-angle, angle)
+            px = get_rng().uniform(-pixel, pixel)
+            ag = get_rng().uniform(-angle, angle)
             right = sample["right"]
-            center = (np.random.uniform(0, right.shape[0]), np.random.uniform(0, right.shape[1]))
+            center = (get_rng().uniform(0, right.shape[0]), get_rng().uniform(0, right.shape[1]))
             rot = cv2.getRotationMatrix2D(center, ag, 1.0)
             right = cv2.warpAffine(right, rot, right.shape[1::-1], flags=cv2.INTER_LINEAR)
             trans = np.float32([[1, 0, 0], [0, 1, px]])
@@ -255,14 +256,14 @@ class RandomOcclusion:
         self.zero = occlusion_mask_zero
 
     def __call__(self, sample):
-        if np.random.random() < self.p:
+        if get_rng().random() < self.p:
             img = sample["right"]
             ht, wd = img.shape[:2]
             mean_color = 0 if self.zero else np.mean(img.reshape(-1, 3), axis=0)
-            x0 = np.random.randint(0, wd)
-            y0 = np.random.randint(0, ht)
-            dx = np.random.randint(50, 100)
-            dy = np.random.randint(50, 100)
+            x0 = get_rng().randint(0, wd)
+            y0 = get_rng().randint(0, ht)
+            dx = get_rng().randint(50, 100)
+            dy = get_rng().randint(50, 100)
             img[y0 : y0 + dy, x0 : x0 + dx, :] = mean_color
             sample["right"] = img
         return sample

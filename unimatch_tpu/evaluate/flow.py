@@ -42,12 +42,13 @@ def _jit_flow(model, infer: InferenceConfig, pred_bidir_flow: bool = False):
 
 
 def _run_padded(fwd, params, img0_np, img1_np, padding_factor: int,
-                inference_size: Optional[Tuple[int, int]] = None):
+                inference_size: Optional[Tuple[int, int]] = None,
+                padder_mode: str = "sintel"):
     img0 = jnp.asarray(img0_np)[None]
     img1 = jnp.asarray(img1_np)[None]
     ori_hw = img0.shape[1:3]
     if inference_size is None:
-        padder = InputPadder(img0.shape, padding_factor=padding_factor)
+        padder = InputPadder(img0.shape, mode=padder_mode, padding_factor=padding_factor)
         img0, img1 = padder.pad(img0, img1)
         flow = fwd(params, img0, img1)
         return np.asarray(padder.unpad(flow)[0], np.float32)
@@ -170,23 +171,67 @@ def validate_sintel(model, params, infer: InferenceConfig, root: str = "datasets
 
 def validate_kitti(model, params, infer: InferenceConfig, root: str = "datasets/KITTI",
                    padding_factor: int = 8,
+                   with_speed_metric: bool = False,
+                   average_over_pixels: bool = True,
+                   count_time: bool = False,
                    inference_size: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
+    """KITTI-2015 train-split validation.
+
+    Metric contract of reference evaluate_flow.py:498-617: mode='kitti'
+    padding (bottom-only height pad), F1 outliers concatenated per-pixel over
+    the whole split; EPE per-pixel (default) or per-image mean; optional
+    s0-10 / s10-40 / s40+ speed buckets over valid sparse-GT pixels.
+    """
     from unimatch_tpu.data.flow_datasets import KITTI
 
     ds = require_samples(KITTI(aug_params=None, split="training", root=root), root)
     fwd = _jit_flow(model, infer)
-    epe_list, f1_list = [], []
+    epe_list, out_list = [], []
+    s010, s1040, s40 = [], [], []
+    total_time, num_timed = 0.0, 0
     for i in range(len(ds)):
         s = ds[i]
-        flow = _run_padded(fwd, params, s["img0"], s["img1"], padding_factor, inference_size)
+        if count_time and i >= 5:
+            t0 = time.perf_counter()
+        flow = _run_padded(fwd, params, s["img0"], s["img1"], padding_factor,
+                           inference_size, padder_mode="kitti")
+        if count_time and i >= 5:
+            total_time += time.perf_counter() - t0
+            num_timed += 1
         gt = s["flow_gt"]
         valid = s["valid"] >= 0.5
         epe = np.sqrt(((flow - gt) ** 2).sum(-1))
         mag = np.sqrt((gt**2).sum(-1))
-        f1 = ((epe > 3.0) & ((epe / np.maximum(mag, 1e-6)) > 0.05)).astype(np.float32)
-        epe_list.append(epe[valid].mean())
-        f1_list.append(100.0 * f1[valid].mean())
-    return {"kitti_epe": float(np.mean(epe_list)), "kitti_f1": float(np.mean(f1_list))}
+        if with_speed_metric:
+            m = (mag < 10) & valid
+            if m.any():
+                s010.append(epe[m])
+            m = (mag >= 10) & (mag <= 40) & valid
+            if m.any():
+                s1040.append(epe[m])
+            m = (mag > 40) & valid
+            if m.any():
+                s40.append(epe[m])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = ((epe > 3.0) & ((epe / mag) > 0.05)).astype(np.float32)
+        if average_over_pixels:
+            epe_list.append(epe[valid].reshape(-1))
+        else:
+            epe_list.append(epe[valid].mean())
+        out_list.append(out[valid].reshape(-1))
+
+    epe_all = np.concatenate(epe_list) if average_over_pixels else np.array(epe_list)
+    results = {
+        "kitti_epe": float(epe_all.mean()),
+        "kitti_f1": float(100.0 * np.concatenate(out_list).mean()),
+    }
+    if with_speed_metric:
+        results["kitti_s0_10"] = float(np.concatenate(s010).mean()) if s010 else 0.0
+        results["kitti_s10_40"] = float(np.concatenate(s1040).mean()) if s1040 else 0.0
+        results["kitti_s40+"] = float(np.concatenate(s40).mean()) if s40 else 0.0
+    if count_time and num_timed:
+        results["time_per_pair_ms"] = 1000.0 * total_time / num_timed
+    return results
 
 
 def create_sintel_submission(model, params, infer: InferenceConfig, root: str = "datasets/Sintel",
@@ -224,7 +269,8 @@ def create_kitti_submission(model, params, infer: InferenceConfig, root: str = "
     for i in range(len(ds)):
         s = ds[i]
         (frame_id,) = s["extra"]
-        flow = _run_padded(fwd, params, s["img0"], s["img1"], padding_factor, inference_size)
+        flow = _run_padded(fwd, params, s["img0"], s["img1"], padding_factor,
+                           inference_size, padder_mode="kitti")  # reference evaluate_flow.py:125
         if save_vis_flow:
             save_vis_flow_tofile(flow, os.path.join(output_path, frame_id))
         else:

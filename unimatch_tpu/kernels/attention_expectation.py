@@ -73,8 +73,16 @@ def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vdim = v.shape[-1]
     scale = 1.0 / (c**0.5)
 
-    # VMEM feasibility: fall back to plain jnp when the target axis is huge
-    too_big = block_q * ((lk + 511) // 512 * 512) * 4 > _MAX_SCORE_BYTES
+    # VMEM feasibility: shrink the query block (512 -> 256 -> ... -> 64)
+    # until the fp32 [BQ, Lk] score block fits the budget; only fall back to
+    # plain jnp when even the smallest block does not fit. At the flagship
+    # 448x1024 bench shape (scale-0 L=7168) block_q=256 fits where 512 did
+    # not — the round-1 fixed-512 version silently materialized the full
+    # [HW, HW] volume in HBM at exactly the shape the bench measures.
+    lk_rounded = (lk + 511) // 512 * 512
+    while block_q > 64 and block_q * lk_rounded * 4 > _MAX_SCORE_BYTES:
+        block_q //= 2
+    too_big = block_q * lk_rounded * 4 > _MAX_SCORE_BYTES
     if too_big or (jax.default_backend() == "cpu" and not interpret):
         scores = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) * scale
         prob = jax.nn.softmax(scores, axis=-1)
