@@ -304,3 +304,8 @@ def _train(args, model_and_infer=None):
 
 if __name__ == "__main__":
     main(get_args_parser().parse_args())
+
+
+def cli_entry():
+    """Console-script entry point (pyproject.toml [project.scripts])."""
+    main(get_args_parser().parse_args())

@@ -174,3 +174,8 @@ def main(args):
 
 if __name__ == "__main__":
     main(get_args_parser().parse_args())
+
+
+def cli_entry():
+    """Console-script entry point (pyproject.toml [project.scripts])."""
+    main(get_args_parser().parse_args())
