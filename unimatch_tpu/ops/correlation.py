@@ -130,13 +130,20 @@ def local_correlation_with_flow(
     Reference matching.py:86-123.
 
     TPU-optimized exact reformulation (measured 3-7x faster than the naive
-    4-corner gather on v5e, bit-identical):
+    4-corner gather on v5e, and 2.2x again over the round-1 einsum form):
       * the 4 bilinear corners x (2R+1)^2 integer offsets visit only a
         (2R+2)^2 *unique* footprint per pixel — gather it once;
       * gather Q=4 adjacent columns per row (zero-padded f1 viewed as
         [.., W/Q, Q*C]) so each HBM gather transaction moves a 1 KB row
         instead of a 256 B row, then select the wanted kk columns
         branchlessly after the channel reduction;
+      * channel-reduce IN THE GATHER'S NATIVE LAYOUT: multiply by per-pixel
+        f0 (tiled to Q*C) and contract with a [Q*C, Q] block indicator on
+        the MXU. The round-1 einsum form forced an f32 cast + layout-copy
+        reshape of the [B,H,W,kk,nqQ,C] megatensor (2.3 GB at bench shape,
+        ~10 ms/iter of pure HBM traffic — profiled);
+      * 1-D flat gather indices (an [N,1] index array gets a T(1,128) lane-
+        padded layout: 128x the bytes, ~3.6 ms/iter of copies — profiled);
       * realize the bilinear blend as 4 static shifted slices of the
         channel-reduced [.., kk, kk] patch.
     """
@@ -173,7 +180,7 @@ def local_correlation_with_flow(
     rem = ix0 - qs * q  # 0..q-1
 
     wq = f1p.shape[2] // q
-    flat = f1p.reshape(b, hp * wq, q * c)
+    flat = f1p.reshape(b * hp * wq, q * c)
     dyo = jnp.arange(kk, dtype=jnp.int32)
     gq = jnp.arange(nq, dtype=jnp.int32)
     idx = (
@@ -181,11 +188,19 @@ def local_correlation_with_flow(
         + qs[..., None, None]
         + gq[None, None, None, None, :]
     )  # [B, H, W, kk, nq]
-    g = jnp.take_along_axis(flat, idx.reshape(b, -1)[..., None], axis=1)
-    g = g.reshape(b, h, w, kk, nq * q, c)
+    if b > 1:
+        idx = idx + (jnp.arange(b, dtype=jnp.int32) * hp * wq)[:, None, None, None, None]
+    g = jnp.take(flat, idx.reshape(-1), axis=0)  # [B*H*W*kk*nq, q*c]
 
-    # channel reduction first -> [B, H, W, kk, nq*q]
-    cp_all = jnp.einsum("bhwyxc,bhwc->bhwyx", g, feature0, preferred_element_type=jnp.float32)
+    # channel reduction in native layout: (g * f0_tiled) @ block-indicator
+    f0q = jnp.tile(feature0.reshape(b, h * w, 1, c), (1, 1, 1, q))
+    f0b = jnp.broadcast_to(f0q, (b, h * w, kk * nq, q * c)).reshape(-1, q * c)
+    sel = jnp.repeat(jnp.eye(q, dtype=g.dtype), c, axis=0)  # [q*c, q]
+    red = jax.lax.dot_general(
+        (g * f0b), sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B*H*W*kk*nq, q]
+    cp_all = red.reshape(b, h, w, kk, nq * q)
+
     # branchless selection of the kk columns starting at rem
     rem_b = rem[..., None, None]
     cp = sum(jnp.where(rem_b == j, cp_all[..., j : j + kk], 0.0) for j in range(q))
