@@ -198,24 +198,32 @@ def local_correlation_with_flow(
     sel = jnp.repeat(jnp.eye(q, dtype=g.dtype), c, axis=0)  # [q*c, q]
     red = jax.lax.dot_general(
         (g * f0b), sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [B*H*W*kk*nq, q]
-    cp_all = red.reshape(b, h, w, kk, nq * q)
+    )  # [B*H*W*kk*nq, q], f32 accumulation
+    # keep the minor-dim-4/-16 tail tensors in the compute dtype: a [N, 4]
+    # f32 array is physically lane-padded 32x (T(8,128)); bf16 halves that
+    # traffic on the bf16 path while fp32 eval keeps full precision
+    ctype = feature0.dtype
+    cp_all = red.astype(ctype).reshape(b, h, w, kk, nq * q)
 
     # branchless selection of the kk columns starting at rem
     rem_b = rem[..., None, None]
-    cp = sum(jnp.where(rem_b == j, cp_all[..., j : j + kk], 0.0) for j in range(q))
+    zero = jnp.zeros((), ctype)
+    cp = sum(jnp.where(rem_b == j, cp_all[..., j : j + kk], zero) for j in range(q))
 
     c00 = cp[..., 0:k, 0:k]
     c01 = cp[..., 0:k, 1 : k + 1]
     c10 = cp[..., 1 : k + 1, 0:k]
     c11 = cp[..., 1 : k + 1, 1 : k + 1]
+    wx1 = wx1.astype(ctype)
+    wy1 = wy1.astype(ctype)
+    one = jnp.ones((), ctype)
     corr = (
-        c00 * (1 - wy1) * (1 - wx1)
-        + c01 * (1 - wy1) * wx1
-        + c10 * wy1 * (1 - wx1)
+        c00 * (one - wy1) * (one - wx1)
+        + c01 * (one - wy1) * wx1
+        + c10 * wy1 * (one - wx1)
         + c11 * wy1 * wx1
     )
-    corr = corr.reshape(b, h, w, k * k) / jnp.sqrt(jnp.float32(c))
+    corr = corr.reshape(b, h, w, k * k) * jnp.asarray(1.0 / (c**0.5), ctype)
     return corr.astype(feature0.dtype)  # [B, H, W, (2R+1)^2]
 
 

@@ -55,9 +55,14 @@ def feature_add_position(
     """
     b, h, w, c = feature0.shape
     if attn_splits > 1:
+        # keep the feature dtype: the f32 embedding constant must not promote
+        # the whole downstream transformer/matching stack to f32 on the bf16
+        # path (profiled: this one promotion made every scale-1 FFN tensor
+        # f32, ~2x the HBM traffic of the entire transformer)
         pos = position_embedding_sine(h // attn_splits, w // attn_splits, channels)
+        pos = pos.astype(feature0.dtype)
         f0 = W.split_feature(feature0, attn_splits) + pos
         f1 = W.split_feature(feature1, attn_splits) + pos
         return W.merge_splits(f0, attn_splits), W.merge_splits(f1, attn_splits)
-    pos = position_embedding_sine(h, w, channels)
+    pos = position_embedding_sine(h, w, channels).astype(feature0.dtype)
     return feature0 + pos, feature1 + pos
