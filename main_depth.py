@@ -183,6 +183,13 @@ def _load_depthsplat_params(args, model):
 
 
 def main(args):
+    from unimatch_tpu.cli import maybe_sequence_parallel
+
+    with maybe_sequence_parallel(args):
+        return _main_modes(args)
+
+
+def _main_modes(args):
     if args.depthsplat_depth:
         if args.inference_dir:
             _run_depthsplat_inference(args)

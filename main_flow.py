@@ -113,6 +113,13 @@ def run_eval(args):
 
 
 def main(args):
+    from unimatch_tpu.cli import maybe_sequence_parallel
+
+    with maybe_sequence_parallel(args):
+        return _main_modes(args)
+
+
+def _main_modes(args):
     if args.inference_dir or args.inference_video:
         from unimatch_tpu.inference import inference_flow
 

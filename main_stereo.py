@@ -57,6 +57,13 @@ def _load_params(args, model, infer):
 
 
 def main(args):
+    from unimatch_tpu.cli import maybe_sequence_parallel
+
+    with maybe_sequence_parallel(args):
+        return _main_modes(args)
+
+
+def _main_modes(args):
     if args.inference_dir or args.inference_dir_left:
         from unimatch_tpu.inference import inference_stereo
 

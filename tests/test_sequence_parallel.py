@@ -20,3 +20,51 @@ def test_sp_global_correlation_matches_single(rng):
     got = sp_global_correlation_softmax(mesh, f0, f1)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_sp_full_model_forward_matches_single(rng):
+    """The MODEL forward under the sequence_parallel context (global corr +
+    global propagation token-sharded over 8 devices) matches single-device."""
+    from unimatch_tpu.config import InferenceConfig, ModelConfig
+    from unimatch_tpu.models.unimatch import UniMatch
+    from unimatch_tpu.parallel.context import sequence_parallel
+
+    cfg = ModelConfig(task="flow", num_scales=1, upsample_factor=8)
+    infer = InferenceConfig(attn_splits_list=(2,), corr_radius_list=(-1,),
+                            prop_radius_list=(-1,))
+    model = UniMatch(config=cfg)
+
+    img0 = jnp.asarray((rng.rand(1, 32, 64, 3) * 255).astype(np.float32))
+    img1 = jnp.asarray((rng.rand(1, 32, 64, 3) * 255).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+
+    ref = model.apply(params, img0, img1, infer=infer)["flow_preds"][-1]
+
+    mesh = make_mesh(jax.devices(), axis="sp")
+    with sequence_parallel(mesh):
+        got = model.apply(params, img0, img1, infer=infer)["flow_preds"][-1]
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # bidirectional flow under sp
+    with sequence_parallel(mesh):
+        got_bidir = model.apply(params, img0, img1, infer=infer,
+                                pred_bidir_flow=True)["flow_preds"][-1]
+    ref_bidir = model.apply(params, img0, img1, infer=infer,
+                            pred_bidir_flow=True)["flow_preds"][-1]
+    np.testing.assert_allclose(np.asarray(got_bidir), np.asarray(ref_bidir),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sp_non_divisible_tokens_falls_back(rng):
+    """Shapes whose token count does not divide the mesh fall back cleanly."""
+    from unimatch_tpu.parallel.context import sequence_parallel
+
+    b, h, w, c = 1, 6, 10, 32  # HW = 60, not divisible by 8
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    ref, _ = C.global_correlation_softmax(f0, f1)
+    mesh = make_mesh(jax.devices(), axis="sp")
+    with sequence_parallel(mesh):
+        got, _ = C.global_correlation_softmax(f0, f1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)

@@ -59,6 +59,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--inference_size", default=None, type=int, nargs="+")
     parser.add_argument("--count_time", action="store_true")
     parser.add_argument("--bf16", action="store_true", help="bf16 params/activations")
+    parser.add_argument("--num_sp_devices", default=0, type=int,
+                        help="shard the global-matching token dimension over this many "
+                             "devices (sequence parallelism) during eval/inference; "
+                             "0 = off (capability beyond the reference)")
     parser.add_argument("--datasets_root", default="datasets", type=str)
     # CUDA-reference launcher flags, accepted for script compatibility but
     # unused on TPU: the JAX runtime discovers devices/processes itself
@@ -68,6 +72,24 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--gpu_ids", default=[0], type=int, nargs="+")
     parser.add_argument("--local_rank", default=0, type=int)
     parser.add_argument("--debug", action="store_true")
+
+
+def maybe_sequence_parallel(args):
+    """Context manager activating token-sharded global matching when
+    --num_sp_devices > 1 (no-op otherwise)."""
+    import contextlib
+
+    n = getattr(args, "num_sp_devices", 0)
+    if n and n > 1:
+        import jax
+
+        from unimatch_tpu.parallel.context import sequence_parallel
+        from unimatch_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()[:n]
+        assert len(devices) == n, f"--num_sp_devices={n} but only {len(jax.devices())} devices"
+        return sequence_parallel(make_mesh(devices, axis="sp"))
+    return contextlib.nullcontext()
 
 
 def build_model_and_infer(args, task: str):

@@ -54,6 +54,17 @@ class SelfAttnPropagation(nn.Module):
         key = k_proj(query)  # checkpoint-parity quirk (see module docstring)
         value = flow.reshape(b, h * w, flow.shape[-1])
 
+        from unimatch_tpu.parallel.context import sp_applicable
+
+        sp = sp_applicable(h * w)
+        if sp is not None:
+            # sequence-parallel global propagation (see parallel/context.py)
+            from unimatch_tpu.parallel.sequence_parallel import sp_attention_expectation
+
+            mesh, axis = sp
+            out = sp_attention_expectation(mesh, query, key, value.astype(query.dtype), axis=axis)
+            return out.astype(flow.dtype).reshape(b, h, w, flow.shape[-1])
+
         from unimatch_tpu.kernels import use_pallas
 
         if use_pallas():

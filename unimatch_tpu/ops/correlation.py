@@ -55,6 +55,25 @@ def global_correlation_softmax(
     f1 = feature1.reshape(b, h * w, c)
     grid = G.coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
 
+    from unimatch_tpu.parallel.context import sp_applicable
+
+    sp = sp_applicable(h * w)
+    if sp is not None:
+        # sequence-parallel: query tokens sharded over the mesh axis; the
+        # per-device block runs the same fused kernel as the one-chip path
+        from unimatch_tpu.parallel.sequence_parallel import sp_attention_expectation
+
+        mesh, axis = sp
+        gv = jnp.broadcast_to(grid[None], (b, h * w, 2)).astype(f0.dtype)
+        corresp = sp_attention_expectation(mesh, f0, f1, gv, axis=axis)
+        if pred_bidir_flow:
+            corresp = jnp.concatenate(
+                [corresp, sp_attention_expectation(mesh, f1, f0, gv, axis=axis)], axis=0
+            )
+            b = 2 * b
+        flow = corresp.reshape(b, h, w, 2) - grid.reshape(h, w, 2)[None]
+        return flow.astype(feature0.dtype), None
+
     from unimatch_tpu.kernels import use_pallas
 
     if use_pallas():
