@@ -1,8 +1,10 @@
-"""End-to-end demo smoke tests on the bundled reference assets (CPU).
+"""End-to-end demo smoke tests on the bundled demo assets (CPU).
 
 These mirror BASELINE.json configs[0] (GMFlow scale1 on demo/flow-davis) and
 configs[2] (GMDepth on demo/depth-scannet): full inference pipeline, file
-outputs, finite values.
+outputs, finite values. The assets are the repo's own synthetic scenes
+(scripts/make_demo_assets.py) so the suite is self-contained; set
+UNIMATCH_DEMO_ROOT to run against other footage (e.g. the reference demos).
 """
 
 import os
@@ -16,8 +18,12 @@ from unimatch_tpu.config import ModelConfig, InferenceConfig
 from unimatch_tpu.models.unimatch import UniMatch
 from unimatch_tpu.inference import inference_flow, inference_depth
 
-DEMO_FLOW = "/root/reference/demo/flow-davis"
-DEMO_DEPTH = "/root/reference/demo/depth-scannet"
+_DEMO_ROOT = os.environ.get(
+    "UNIMATCH_DEMO_ROOT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "demo"),
+)
+DEMO_FLOW = os.path.join(_DEMO_ROOT, "flow-davis")
+DEMO_DEPTH = os.path.join(_DEMO_ROOT, "depth-scannet")
 
 
 def _init(cfg, infer, h=64, w=96, **kw):
@@ -82,6 +88,38 @@ def test_inference_depth_scannet(tmp_path):
     depth = np.load(npys[0])
     assert np.isfinite(depth).all()
     assert (depth > 0).all()
+
+
+DEMO_STEREO = os.path.join(_DEMO_ROOT, "stereo-middlebury")
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO_STEREO), reason="demo assets unavailable")
+def test_inference_stereo_demo(tmp_path):
+    from unimatch_tpu.inference import inference_stereo
+
+    cfg = ModelConfig(task="stereo", num_scales=1)
+    infer = InferenceConfig(
+        attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,),
+        attn_type="self_swin2d_cross_1d",
+    )
+    model, params = _init(cfg, infer)
+
+    written = inference_stereo(
+        model,
+        params,
+        infer,
+        inference_dir=DEMO_STEREO,
+        output_path=str(tmp_path),
+        padding_factor=16,
+        save_pfm_disp=True,
+    )
+    assert any(f.endswith(".png") for f in written)
+    pfms = [f for f in written if f.endswith(".pfm")]
+    assert pfms
+    from unimatch_tpu.utils.frame_utils import read_pfm
+
+    disp = read_pfm(pfms[0])[0]
+    assert np.isfinite(disp).all()
 
 
 @pytest.mark.skipif(not os.path.isdir(DEMO_FLOW), reason="demo assets unavailable")
