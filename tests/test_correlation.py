@@ -143,3 +143,22 @@ def test_volume_lookup_matches_feature_gather(rng):
     via_volume = C.local_correlation_with_flow_from_volume(vol, jnp.asarray(flow), h, w, 4)
     # volume is stored bf16 -> ~1e-2 relative tolerance
     np.testing.assert_allclose(np.asarray(via_volume), np.asarray(direct), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("flow_scale", [0.0, 2.5, 40.0])
+@pytest.mark.parametrize("bshape", [(1, 10, 12), (2, 16, 20)])
+def test_tiled_volume_lookup_matches_feature_gather(rng, bshape, flow_scale):
+    """Tiled-volume refinement lookup == direct feature gather, including
+    far out-of-bounds flows (zero-padding semantics) and batch > 1."""
+    b, h, w = bshape
+    c = 32
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    flow = (rng.randn(b, h, w, 2) * flow_scale).astype(np.float32)
+
+    direct = C.local_correlation_with_flow(
+        jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(flow), 4
+    )
+    vol = C.build_tiled_correlation_volume(jnp.asarray(f0), jnp.asarray(f1), 4)
+    via = C.local_correlation_with_flow_from_tiled_volume(vol, jnp.asarray(flow), 4)
+    np.testing.assert_allclose(np.asarray(via), np.asarray(direct), rtol=1e-4, atol=1e-4)

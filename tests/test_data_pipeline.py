@@ -148,3 +148,25 @@ def test_loader_augmentation_deterministic_across_worker_counts(tmp_path):
     loader.set_epoch(1)
     e1 = [b["img0"].copy() for b in loader]
     assert any((a != b).any() for a, b in zip(e0, e1))
+
+
+def test_loader_process_workers_match_threads(tmp_path):
+    """Process-worker mode yields byte-identical batches to thread mode
+    (per-sample seeding is worker-model independent)."""
+    root = str(tmp_path / "Sintel")
+    _make_sintel(root, scenes=2, frames=4)
+
+    def batches(use_processes):
+        ds = MpiSintel(aug_params={"crop_size": (48, 64)}, split="training",
+                       dstype="clean", root=root)
+        loader = DataLoader(ds, batch_size=2, num_workers=2, seed=7,
+                            use_processes=use_processes)
+        loader.set_epoch(1)
+        return [b for b in loader]
+
+    bt = batches(False)
+    bp = batches(True)
+    assert len(bt) == len(bp) > 0
+    for x, y in zip(bt, bp):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])

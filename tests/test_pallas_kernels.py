@@ -82,3 +82,59 @@ def test_corr_window_kernel_matches_reference(rng):
     got = got / np.sqrt(c)
     ref = local_correlation_with_flow(f0, f1, fl, r)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ffn_matches_reference(rng):
+    from unimatch_tpu.kernels.ffn import fused_ffn
+
+    n, l, c, hdim = 2, 300, 128, 1024  # l not a multiple of the tile
+    src = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    msg = jnp.asarray(rng.randn(n, l, c).astype(np.float32))
+    w0 = jnp.asarray(rng.randn(2 * c, hdim).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(hdim, c).astype(np.float32) * 0.05)
+    gamma = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+
+    got = fused_ffn(src, msg, w0, w2, gamma, beta, interpret=True)
+
+    # jnp twin (the unfused TransformerLayer path)
+    y = src @ w0[:c] + msg @ w0[c:]
+    y = jax.nn.gelu(y, approximate=False)
+    y = (y @ w2).astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    want = src + y * gamma + beta
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_conv2d_matches_reference(rng):
+    from unimatch_tpu.kernels.conv_fused import fused_conv2d
+    from unimatch_tpu.models.layers import conv_via_matmul
+
+    b, h, w = 2, 21, 36  # h not a multiple of the row tile
+    for kh, kw, cins, cout, act in [
+        (1, 5, (16, 32), 24, "sigmoid"),
+        (5, 1, (16, 32), 16, "tanh"),
+        (3, 3, (8, 24, 2), 40, "relu"),
+        (7, 7, (6,), 16, None),
+        (1, 1, (24,), 32, "relu"),
+    ]:
+        parts = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)) for c in cins]
+        kern = jnp.asarray(rng.randn(kh, kw, sum(cins), cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+
+        got = fused_conv2d(parts, kern, bias, act=act, interpret=True)
+
+        x = jnp.concatenate(parts, axis=-1)
+        want = conv_via_matmul(x, kern, (1, 1), ((kh - 1) // 2, (kw - 1) // 2)) + bias
+        if act == "relu":
+            want = jax.nn.relu(want)
+        elif act == "sigmoid":
+            want = jax.nn.sigmoid(want)
+        elif act == "tanh":
+            want = jnp.tanh(want)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"kh={kh} kw={kw} cins={cins} cout={cout} act={act}",
+        )

@@ -167,6 +167,11 @@ def train_loop(args, task: str, build_dataset_fn, example_batch_fn,
         seed=args.seed,
         shard_index=jax.process_index(),
         num_shards=max(jax.process_count(), 1),
+        # process workers for real training on multi-core hosts: the
+        # numpy/cv2 augmentors are GIL-bound, so threads plateau at ~2
+        # workers (scripts/bench_loader.py); on few-core containers the
+        # fork+IPC overhead outweighs parallelism
+        use_processes=args.num_workers > 2 and (os.cpu_count() or 1) >= 4,
     )
     print(f"=> {len(dataset)} training samples")
 

@@ -9,6 +9,7 @@ double-buffered device prefetch so the TPU never waits on augmentation.
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -16,8 +17,30 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def _mp_worker(dataset, seed, epoch, jobs, out_q):
+    """Forked worker: load + augment its share of batches, push (index, batch)."""
+    from unimatch_tpu.data.rng import sample_rng_scope
+
+    for bi, batch_idx in jobs:
+        samples = []
+        for j in batch_idx:
+            with sample_rng_scope(seed, epoch, int(j)):
+                samples.append(dataset[int(j)])
+        out = {k: np.stack([s[k] for s in samples]) for k in samples[0] if k != "extra"}
+        out_q.put((bi, out))
+
+
 class DataLoader:
-    """Minimal epoch-based shuffling batch loader with worker threads."""
+    """Epoch-based shuffling batch loader.
+
+    Worker model: `use_processes=True` forks one process per worker (the
+    torch-DataLoader equivalent; augmentation is numpy/cv2-heavy and mostly
+    GIL-bound, so threads plateau at ~2 workers — measured in
+    scripts/bench_loader.py); the default thread mode keeps zero-copy
+    handoff for small datasets and tests. Either way, augmentation streams
+    are seeded per (seed, epoch, sample), so results are identical across
+    worker counts and worker models.
+    """
 
     def __init__(
         self,
@@ -29,6 +52,7 @@ class DataLoader:
         drop_last: bool = True,
         shard_index: int = 0,
         num_shards: int = 1,
+        use_processes: bool = False,
     ):
         assert batch_size % 1 == 0
         self.dataset = dataset
@@ -39,6 +63,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.use_processes = use_processes and hasattr(mp, "get_context")
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -59,6 +84,43 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.use_processes:
+            yield from self._iter_processes()
+            return
+        yield from self._iter_threads()
+
+    def _iter_processes(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        jobs = list(enumerate(batches))
+
+        ctx = mp.get_context("fork")  # inherit the dataset without pickling it
+        out_q = ctx.Queue(maxsize=self.num_workers * 2)
+        procs = []
+        for w in range(self.num_workers):
+            p = ctx.Process(
+                target=_mp_worker,
+                args=(self.dataset, self.seed, self.epoch, jobs[w :: self.num_workers], out_q),
+                daemon=True,
+            )
+            p.start()
+            procs.append(p)
+
+        pending: Dict[int, Dict[str, np.ndarray]] = {}
+        try:
+            for want in range(nb):
+                while want not in pending:
+                    bi, out = out_q.get()
+                    pending[bi] = out
+                yield pending.pop(want)
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=2)
+
+    def _iter_threads(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices()
         nb = len(self)
         batches = [indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]

@@ -61,17 +61,39 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _reference(q, k, v):
+    c = q.shape[-1]
+    scores = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) / (c**0.5)
+    prob = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("blm,bmv->blv", prob, v.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _with_vjp(block_q: int):
+    """Pallas forward + jnp-reference backward (pallas_call has no autodiff)."""
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _attention_expectation_impl(q, k, v, block_q=block_q)
+
+    def fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(_reference, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           block_q: int = 512, interpret: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(C)) v  — fused, fp32 softmax.
 
     q, k: [B, L, C]; v: [B, L, V] (V small). Returns [B, Lq, V] float32.
     """
-    b, lq, c = q.shape
     lk = k.shape[1]
-    vdim = v.shape[-1]
-    scale = 1.0 / (c**0.5)
 
     # VMEM feasibility: shrink the query block (512 -> 256 -> ... -> 64)
     # until the fp32 [BQ, Lk] score block fits the budget; only fall back to
@@ -84,9 +106,19 @@ def attention_expectation(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         block_q //= 2
     too_big = block_q * lk_rounded * 4 > _MAX_SCORE_BYTES
     if too_big or (jax.default_backend() == "cpu" and not interpret):
-        scores = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) * scale
-        prob = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("blm,bmv->blv", prob, v.astype(jnp.float32))
+        return _reference(q, k, v)
+    if interpret:
+        return _attention_expectation_impl(q, k, v, block_q=block_q, interpret=True)
+    return _with_vjp(block_q)(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _attention_expectation_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                                block_q: int = 512, interpret: bool = False) -> jnp.ndarray:
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    vdim = v.shape[-1]
+    scale = 1.0 / (c**0.5)
 
     lq_p = -(-lq // block_q) * block_q
     lk_p = -(-lk // 512) * 512

@@ -63,25 +63,76 @@ def _pad_rows(x, size):
     return x if pad == 0 else jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _reference(q, k, v, bias=None):
+    n, _, c = q.shape
+    scores = jnp.einsum("nlc,nmc->nlm", q, k, preferred_element_type=jnp.float32) / (c**0.5)
+    if bias is not None:
+        nw = bias.shape[0]
+        scores = scores + jnp.tile(bias, (n // nw, 1, 1))
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("nlm,nmc->nlc", p.astype(v.dtype), v)
+
+
+@functools.lru_cache(maxsize=None)
+def _with_vjp(has_bias: bool):
+    """Pallas forward + jnp-reference backward (pallas_call has no autodiff)."""
+    if has_bias:
+
+        @jax.custom_vjp
+        def f(q, k, v, bias):
+            return _window_attention_impl(q, k, v, bias)
+
+        def fwd(q, k, v, bias):
+            return f(q, k, v, bias), (q, k, v, bias)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(_reference, *res)
+            return vjp(g)
+
+    else:
+
+        @jax.custom_vjp
+        def f(q, k, v):
+            return _window_attention_impl(q, k, v, None)
+
+        def fwd(q, k, v):
+            return f(q, k, v), (q, k, v)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(lambda a, b, c_: _reference(a, b, c_), *res)
+            return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      bias: jnp.ndarray | None = None,
                      interpret: bool = False) -> jnp.ndarray:
     """Per-window attention. q,k,v: [N, L, C]; bias: [nw, L, L] fp32 with
     nw | N (window w of batch b at index b*nw + w). Returns [N, L, C]."""
+    l = q.shape[1]
+    block_q = min(512, -(-l // 128) * 128)
+    lp = -(-l // 128) * 128
+
+    if block_q * lp * 4 > _MAX_SCORE_BYTES or (jax.default_backend() == "cpu" and not interpret):
+        return _reference(q, k, v, bias)
+    if interpret:
+        return _window_attention_impl(q, k, v, bias, interpret=True)
+    if bias is None:
+        return _with_vjp(False)(q, k, v)
+    return _with_vjp(True)(q, k, v, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _window_attention_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           bias: jnp.ndarray | None = None,
+                           interpret: bool = False) -> jnp.ndarray:
     n, l, c = q.shape
     scale = 1.0 / (c**0.5)
     block_q = min(512, -(-l // 128) * 128)
     lp = -(-l // 128) * 128
     lqp = -(-l // block_q) * block_q
-
-    if block_q * lp * 4 > _MAX_SCORE_BYTES or (jax.default_backend() == "cpu" and not interpret):
-        scores = jnp.einsum("nlc,nmc->nlm", q, k, preferred_element_type=jnp.float32) * scale
-        if bias is not None:
-            nw = bias.shape[0]
-            scores = scores + jnp.tile(bias, (n // nw, 1, 1))
-        p = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("nlm,nmc->nlc", p.astype(v.dtype), v)
 
     qp = _pad_rows(q, lqp)
     ktp = jnp.swapaxes(_pad_rows(k, lp), 1, 2)

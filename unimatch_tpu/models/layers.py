@@ -31,6 +31,13 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
 conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 xavier_uniform = nn.initializers.xavier_uniform()
 
+_ACT_FNS = {
+    None: lambda x: x,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
 
 def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c)."""
@@ -116,7 +123,9 @@ class Conv2d(nn.Module):
     so the torch checkpoint converter is unaffected. The computation lowers
     to shifted matmuls when the channel count would under-utilize the MXU
     under lax.conv (see conv_via_matmul); wide-channel convs and dilated
-    convs use lax.conv directly.
+    convs use lax.conv directly. With fuse=True (stride-1 'same' convs on the
+    hot path), the conv + bias + activation run as one Pallas kernel with the
+    tap accumulator in VMEM (kernels/conv_fused.py).
     """
 
     features: int
@@ -126,14 +135,30 @@ class Conv2d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     kernel_init: Any = conv_kaiming_init
+    act: Any = None  # None | 'relu' | 'sigmoid' | 'tanh', applied after bias
+    fuse: bool = False  # dispatch to the fused Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
-        kernel = kernel.astype(x.dtype)
 
+        same_pad = self.padding == ((kh - 1) // 2, (kw - 1) // 2)
+        if self.fuse and self.stride == (1, 1) and self.dilation == 1 and same_pad:
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                from unimatch_tpu.kernels.conv_fused import fused_conv2d
+
+                bias = (
+                    self.param("bias", nn.initializers.zeros, (self.features,))
+                    if self.use_bias
+                    else None
+                )
+                return fused_conv2d([x], kernel.astype(x.dtype), bias, act=self.act)
+
+        kernel = kernel.astype(x.dtype)
         # lax.conv is erratically slow on this TPU runtime at every channel
         # width we measured (up to 25x off peak); shifted matmuls are reliable
         if self.dilation == 1:
@@ -150,7 +175,7 @@ class Conv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
-        return y
+        return _ACT_FNS[self.act](y)
 
 
 def conv2d(
@@ -161,6 +186,8 @@ def conv2d(
     dilation: int = 1,
     use_bias: bool = True,
     kernel_init=conv_kaiming_init,
+    act=None,
+    fuse: bool = False,
     name: str | None = None,
 ) -> Conv2d:
     if isinstance(kernel, int):
@@ -177,6 +204,8 @@ def conv2d(
         dilation=dilation,
         use_bias=use_bias,
         kernel_init=kernel_init,
+        act=act,
+        fuse=fuse,
         name=name,
     )
 
@@ -203,12 +232,28 @@ class Conv2dMulti(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     use_bias: bool = True
     kernel_init: Any = conv_kaiming_init
+    act: Any = None
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, parts) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cins = [p.shape[-1] for p in parts]
         kernel = self.param("kernel", self.kernel_init, (kh, kw, sum(cins), self.features))
+
+        if self.fuse and self.padding == ((kh - 1) // 2, (kw - 1) // 2):
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                from unimatch_tpu.kernels.conv_fused import fused_conv2d
+
+                bias = (
+                    self.param("bias", nn.initializers.zeros, (self.features,))
+                    if self.use_bias
+                    else None
+                )
+                return fused_conv2d(parts, kernel.astype(parts[0].dtype), bias, act=self.act)
+
         kernel = kernel.astype(parts[0].dtype)
         acc = None
         off = 0
@@ -219,13 +264,13 @@ class Conv2dMulti(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             acc = acc + bias.astype(acc.dtype)
-        return acc
+        return _ACT_FNS[self.act](acc)
 
 
-def conv2d_multi(features, kernel, padding=0, use_bias=True, name=None):
+def conv2d_multi(features, kernel, padding=0, use_bias=True, act=None, fuse=False, name=None):
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     if isinstance(padding, int):
         padding = (padding, padding)
     return Conv2dMulti(features=features, kernel_size=kernel, padding=padding,
-                       use_bias=use_bias, name=name)
+                       use_bias=use_bias, act=act, fuse=fuse, name=name)

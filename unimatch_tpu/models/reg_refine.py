@@ -29,8 +29,7 @@ class FlowHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = conv2d(self.hidden_dim, 3, padding=1, name="conv1")(x)
-        y = jax.nn.relu(y)
+        y = conv2d(self.hidden_dim, 3, padding=1, act="relu", name="conv1")(x)
         return conv2d(self.out_dim, 3, padding=1, name="conv2")(y)
 
 
@@ -49,20 +48,22 @@ class SepConvGRU(nn.Module):
 
         # horizontal pass (1 x K kernels); concats stay virtual (conv2d_multi)
         hx = [h] + x_parts
-        z = jax.nn.sigmoid(conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), name="convz1")(hx))
-        r = jax.nn.sigmoid(conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), name="convr1")(hx))
-        q = jnp.tanh(
-            conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), name="convq1")([r * h] + x_parts)
-        )
+        z = conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), act="sigmoid",
+                         name="convz1")(hx)
+        r = conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), act="sigmoid",
+                         name="convr1")(hx)
+        q = conv2d_multi(hd, (1, self.kernel_size), padding=(0, p), act="tanh",
+                         name="convq1")([r * h] + x_parts)
         h = (1 - z) * h + z * q
 
         # vertical pass (K x 1 kernels)
         hx = [h] + x_parts
-        z = jax.nn.sigmoid(conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), name="convz2")(hx))
-        r = jax.nn.sigmoid(conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), name="convr2")(hx))
-        q = jnp.tanh(
-            conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), name="convq2")([r * h] + x_parts)
-        )
+        z = conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), act="sigmoid",
+                         name="convz2")(hx)
+        r = conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), act="sigmoid",
+                         name="convr2")(hx)
+        q = conv2d_multi(hd, (self.kernel_size, 1), padding=(p, 0), act="tanh",
+                         name="convq2")([r * h] + x_parts)
         return (1 - z) * h + z * q
 
 
@@ -71,13 +72,13 @@ class BasicMotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
-        cor = jax.nn.relu(conv2d(256, 1, name="convc1")(corr))
-        cor = jax.nn.relu(conv2d(192, 3, padding=1, name="convc2")(cor))
+        cor = conv2d(256, 1, act="relu", name="convc1")(corr)
+        cor = conv2d(192, 3, padding=1, act="relu", name="convc2")(cor)
         flo = jax.nn.relu(conv2d(128, 7, padding=3, name="convf1")(flow))
-        flo = jax.nn.relu(conv2d(64, 3, padding=1, name="convf2")(flo))
-        out = jax.nn.relu(
-            conv2d_multi(128 - self.flow_channels, 3, padding=1, name="conv")([cor, flo])
-        )
+        flo = conv2d(64, 3, padding=1, act="relu", name="convf2")(flo)
+        out = conv2d_multi(
+            128 - self.flow_channels, 3, padding=1, act="relu", name="conv"
+        )([cor, flo])
         return [out, flow]  # virtual concat, 128 channels
 
 
@@ -97,6 +98,6 @@ class BasicUpdateBlock(nn.Module):
 
         mask = None
         if not self.bilinear_up:
-            m = jax.nn.relu(conv2d(256, 3, padding=1, name="mask_0")(net))
+            m = conv2d(256, 3, padding=1, act="relu", name="mask_0")(net)
             mask = conv2d(self.downsample_factor**2 * 9, 1, name="mask_2")(m)
         return net, mask, delta

@@ -37,30 +37,6 @@ def _dense(features: int, name: str) -> nn.Dense:
     return nn.Dense(features, use_bias=False, kernel_init=xavier_uniform, name=name)
 
 
-class _DenseConcat(nn.Module):
-    """Dense over a virtual concat of inputs (kernel split over rows).
-
-    Param layout identical to nn.Dense on the concatenated input
-    ('kernel' [sum_cin, features]) — checkpoint conversion unchanged.
-    """
-
-    features: int
-
-    @nn.compact
-    def __call__(self, parts):
-        cins = [p.shape[-1] for p in parts]
-        kernel = self.param("kernel", xavier_uniform, (sum(cins), self.features))
-        kernel = kernel.astype(parts[0].dtype)
-        acc = None
-        off = 0
-        for p, cin in zip(parts, cins):
-            y = jnp.einsum("...c,co->...o", p, kernel[off : off + cin],
-                           preferred_element_type=jnp.float32).astype(p.dtype)
-            acc = y if acc is None else acc + y
-            off += cin
-        return acc
-
-
 class TransformerLayer(nn.Module):
     d_model: int = 128
     no_ffn: bool = False
@@ -81,9 +57,27 @@ class TransformerLayer(nn.Module):
         attn_mask_1d: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c = self.d_model
-        query = _dense(c, "q_proj")(source)
-        key = _dense(c, "k_proj")(target)
-        value = _dense(c, "v_proj")(target)
+        # combined projections: one MXU dot instead of three (self-attn) or
+        # two (cross-attn) — the input map is read once. Param tree unchanged
+        # (kernels are concatenated weight-side at apply time).
+        wq = self.scope.push("q_proj").param("kernel", xavier_uniform, (c, c))
+        wk = self.scope.push("k_proj").param("kernel", xavier_uniform, (c, c))
+        wv = self.scope.push("v_proj").param("kernel", xavier_uniform, (c, c))
+        dt = source.dtype
+        if is_self_attn:
+            qkv = jnp.einsum(
+                "blc,cd->bld", source, jnp.concatenate([wq, wk, wv], axis=1).astype(dt),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            query, key, value = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        else:
+            query = jnp.einsum("blc,cd->bld", source, wq.astype(dt),
+                               preferred_element_type=jnp.float32).astype(dt)
+            kv = jnp.einsum(
+                "blc,cd->bld", target, jnp.concatenate([wk, wv], axis=1).astype(dt),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            key, value = kv[..., :c], kv[..., c:]
 
         if attn_type == "swin" and attn_num_splits > 1:
             message = A.split_window_attention(
@@ -123,9 +117,22 @@ class TransformerLayer(nn.Module):
 
         if not self.no_ffn:
             hdim = 2 * c * self.ffn_dim_expansion
-            # virtual concat([source, message]): split the first FFN matmul
-            # over the two channel blocks instead of materializing the concat
-            y = _DenseConcat(hdim, name="mlp_0")([source, message])
+            # NOTE: a fused Pallas FFN (dense-GELU-dense-LayerNorm-residual,
+            # kernels/ffn.py) measured 9x SLOWER than this XLA path on the
+            # target runtime despite eliminating the hidden-activation HBM
+            # round-trips — XLA's pipelined fusions win here. Kept as a
+            # tested kernel + negative result (docs/PERF_NOTES.md).
+
+            # materialized concat + one [L, 2C] x [2C, H] dot: the virtual
+            # (per-part) split writes the fat [L, H] accumulator once per
+            # part; one concat write (2C, small) + one dot is cheaper
+            w0 = self.scope.push("mlp_0").param("kernel", xavier_uniform, (2 * c, hdim))
+            y = jnp.einsum(
+                "blc,cd->bld",
+                jnp.concatenate([source, message], axis=-1),
+                w0.astype(source.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(source.dtype)
             y = gelu_exact(y)
             message = _dense(c, "mlp_2")(y)
             message = LayerNorm(name="norm2")(message)

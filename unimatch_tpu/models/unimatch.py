@@ -64,7 +64,7 @@ class Upsampler(nn.Module):
     @nn.compact
     def __call__(self, flow: jnp.ndarray, feature: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([flow, feature], axis=-1)
-        x = jax.nn.relu(conv2d(256, 3, padding=1, name="conv_0")(x))
+        x = conv2d(256, 3, padding=1, act="relu", name="conv_0")(x)
         return conv2d(self.upsample_factor**2 * 9, 1, name="conv_2")(x)
 
 
@@ -285,11 +285,15 @@ class UniMatch(nn.Module):
 
                     assert infer.num_reg_refine > 0
 
-                    # NOTE: a RAFT-style precomputed [HW, HW] volume with
-                    # per-iteration scalar lookups was measured 2x SLOWER on
-                    # v5e than re-gathering feature rows (sub-transaction
-                    # scalar gathers); the unique-footprint row gather in
-                    # local_correlation_with_flow is the fast path.
+                    # NOTE: precomputed correlation volumes for the refine
+                    # lookups were measured SLOWER than re-gathering feature
+                    # rows on this TPU in two layouts — flat RAFT-style
+                    # (scalar lookups, 2x slower) and 16x16-unit tiled
+                    # (512 B gathers: lookup 25 ms vs direct 15 ms at bench
+                    # shape, plus an 85 ms volume build dominated by the
+                    # 2.4 GB HBM write). The unique-footprint row gather in
+                    # local_correlation_with_flow remains the fast path; the
+                    # volume ops stay available in ops/correlation.py.
                     def _refine_corr(lookup_flow):
                         return C.local_correlation_with_flow(
                             feature0_ori, feature1_ori, lookup_flow, local_radius=4
