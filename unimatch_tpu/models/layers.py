@@ -93,23 +93,30 @@ def conv_via_matmul(
     xs = _space_to_depth(xp, s)  # [B, rows/s, cols/s, s*s*cin]
 
     # group taps by s2d cell (a, b) so each matmul contracts s*s*cin channels
+    na = (kh - 1) // s + 1
+    nb = (kw - 1) // s + 1
     zeros_blk = jnp.zeros((cin, cout), kernel.dtype)
+
+    def cell_kernel(a, bb):
+        blocks = []
+        for dy in range(s):
+            for dx in range(s):
+                u, v = s * a + dy, s * bb + dx
+                blocks.append(kernel[u, v] if (u < kh and v < kw) else zeros_blk)
+        return jnp.concatenate(blocks, axis=0)  # [s*s*cin, cout]
+
+    # NOTE: concatenating all cells into one im2col map + a single wide-K
+    # matmul measured 4x SLOWER than the per-cell accumulation below (the
+    # sub-128-channel cell slices lane-pad and the concat relayouts): keep
+    # the per-cell matmuls.
     acc = None
-    for a in range((kh - 1) // s + 1):
-        for bb in range((kw - 1) // s + 1):
-            blocks = []
-            any_tap = False
-            for dy in range(s):
-                for dx in range(s):
-                    u, v = s * a + dy, s * bb + dx
-                    if u < kh and v < kw:
-                        blocks.append(kernel[u, v])
-                        any_tap = True
-                    else:
-                        blocks.append(zeros_blk)
-            if not any_tap:
+    for a in range(na):
+        for bb in range(nb):
+            if not any(
+                s * a + dy < kh and s * bb + dx < kw for dy in range(s) for dx in range(s)
+            ):
                 continue
-            k2 = jnp.concatenate(blocks, axis=0)  # [s*s*cin, cout]
+            k2 = cell_kernel(a, bb)
             sl = xs[:, a : a + oh, bb : bb + ow, :]
             part = jnp.einsum("bhwc,co->bhwo", sl, k2, preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,7 +174,7 @@ def local_correlation_with_flow(
     r = local_radius
     k = 2 * r + 1
     kk = k + 1  # unique footprint side
-    q = 4  # column-group width (gather transaction widening)
+    q = int(os.environ.get("UNIMATCH_CORR_Q", "4"))  # column-group width (gather widening)
     nq = math.ceil(kk / q) + 1
     assert dilation == 1, "dilation > 1 uses the generic sampling path"
 
