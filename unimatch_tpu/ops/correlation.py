@@ -213,18 +213,31 @@ def local_correlation_with_flow(
         idx = idx + (jnp.arange(b, dtype=jnp.int32) * hp * wq)[:, None, None, None, None]
     g = jnp.take(flat, idx.reshape(-1), axis=0)  # [B*H*W*kk*nq, q*c]
 
-    # channel reduction in native layout: (g * f0_tiled) @ block-indicator
-    f0q = jnp.tile(feature0.reshape(b, h * w, 1, c), (1, 1, 1, q))
-    f0b = jnp.broadcast_to(f0q, (b, h * w, kk * nq, q * c)).reshape(-1, q * c)
-    sel = jnp.repeat(jnp.eye(q, dtype=g.dtype), c, axis=0)  # [q*c, q]
-    red = jax.lax.dot_general(
-        (g * f0b), sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [B*H*W*kk*nq, q], f32 accumulation
-    # keep the minor-dim-4/-16 tail tensors in the compute dtype: a [N, 4]
-    # f32 array is physically lane-padded 32x (T(8,128)); bf16 halves that
-    # traffic on the bf16 path while fp32 eval keeps full precision
+    # channel reduction in native layout: (g * f0_tiled) @ block-indicator.
+    # Two equivalent formulations (identical values; see PERF_NOTES):
+    #   flat: 2-D dot on [N, q*c] with an explicitly broadcast f0, f32 out +
+    #         cast (the round-1 form)
+    #   4d:   batched dot with f0 broadcast inside the fusion and the output
+    #         rounded once via preferred_element_type (MXU still accumulates
+    #         f32; fp32 eval keeps full precision)
     ctype = feature0.dtype
-    cp_all = red.astype(ctype).reshape(b, h, w, kk, nq * q)
+    sel = jnp.repeat(jnp.eye(q, dtype=g.dtype), c, axis=0)  # [q*c, q]
+    f0t = jnp.tile(feature0.reshape(b, h * w, 1, c), (1, 1, 1, q))  # [B, HW, 1, q*c]
+    # interleaved same-session A/B: flat 13.6 ms vs 4d 28.5 ms per iteration
+    # at bench shape (full forward 103 vs 119 ms) — the batched 4-D dot
+    # lowers poorly; flat stays the default
+    if os.environ.get("UNIMATCH_CORR_REDUCE", "flat") == "flat":
+        f0b = jnp.broadcast_to(f0t, (b, h * w, kk * nq, q * c)).reshape(-1, q * c)
+        red = jax.lax.dot_general(
+            (g * f0b), sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        cp_all = red.astype(ctype).reshape(b, h, w, kk, nq * q)
+    else:
+        g4 = g.reshape(b, h * w, kk * nq, q * c)
+        red = jax.lax.dot_general(
+            g4 * f0t, sel, (((3,), (0,)), ((), ())), preferred_element_type=ctype
+        )  # [B, HW, kk*nq, q]
+        cp_all = red.reshape(b, h, w, kk, nq * q)
 
     # branchless selection of the kk columns starting at rem
     rem_b = rem[..., None, None]

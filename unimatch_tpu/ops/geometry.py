@@ -87,13 +87,18 @@ def grid_sample(
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    flat = img.reshape(b * h * w, c)
+    batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None] if b > 1 else 0
+
     def gather(iy, ix):
-        # clip for safe gather; validity handled by masks
+        # clip for safe gather; validity handled by masks. Flat 1-D indices
+        # into [B*H*W, C]: a take_along_axis [B, N, 1] index tensor gets a
+        # lane-padded (x128) physical layout on TPU — measured as a major
+        # cost for the plane-sweep warp's 4 corner gathers.
         iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
         ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
-        flat = img.reshape(b, h * w, c)
-        idx = iyc * w + ixc  # [B, N]
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+        idx = iyc * w + ixc + batch_off  # [B, N]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(b, -1, c)
 
     if padding_mode == "zeros":
         def valid(iy, ix):
