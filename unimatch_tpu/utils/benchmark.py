@@ -17,8 +17,17 @@ import jax
 import jax.numpy as jnp
 
 
-def time_chained(fn: Callable, *args, n: int = 20, warmup: int = 3) -> float:
-    """Average seconds per call of fn(*args), forcing real device execution."""
+def time_chained(fn: Callable, *args, n: int = 20, warmup: int = 3,
+                 min_warmup_s: float = 0.0) -> float:
+    """Average seconds per call of fn(*args), forcing real device execution.
+
+    min_warmup_s: keep executing warmup calls until this much wall time has
+    elapsed since the first post-compile execution. The remote-TPU relay has
+    a slow-start window of several seconds after compilation during which
+    execution reads 2-5x slower than steady state; short measurements that
+    sit entirely inside that window report garbage (a 12 ms model measured
+    24 ms with count-based warmup only).
+    """
 
     def reduced(*a):
         out = fn(*a)
@@ -26,8 +35,14 @@ def time_chained(fn: Callable, *args, n: int = 20, warmup: int = 3) -> float:
         return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
     reduced_jit = jax.jit(reduced)
-    for _ in range(max(warmup, 1)):
+    float(reduced_jit(*args))  # compile + first execution
+    t0 = time.perf_counter()
+    done = 1
+    while done < max(warmup, 1) or time.perf_counter() - t0 < min_warmup_s:
         float(reduced_jit(*args))
+        done += 1
+        if done > 10000:
+            break
 
     t0 = time.perf_counter()
     s = jnp.zeros((), jnp.float32)
