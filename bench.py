@@ -79,15 +79,16 @@ def main():
     # capability of the chip, not of the relay's worst moment.
     chunks = max(1, int(os.environ.get("BENCH_CHUNKS", 3)))
     gap_s = float(os.environ.get("BENCH_CHUNK_GAP_S", 20.0))
-    n_chunk = max(5, RUNS // chunks)
-    dts = []
+    # probe pass (also absorbs the slow-start window), then size chunks to
+    # >= ~4 s of device time each so fast models aren't measured by a blip
+    dt_probe = time_chained(fwd, params, img0, img1, n=5, warmup=WARMUP,
+                            min_warmup_s=WARMUP_S)
+    n_chunk = max(5, RUNS // chunks, int(4.0 / max(dt_probe, 1e-4)))
+    dts = [dt_probe]
     for i in range(chunks):
         if i:
             time.sleep(gap_s)
-        dts.append(
-            time_chained(fwd, params, img0, img1, n=n_chunk, warmup=WARMUP,
-                         min_warmup_s=WARMUP_S if i == 0 else 0.0)
-        )
+        dts.append(time_chained(fwd, params, img0, img1, n=n_chunk, warmup=2))
     dt = min(dts)
 
     pairs_per_sec = 1.0 / dt
