@@ -89,7 +89,11 @@ def main():
         if i:
             time.sleep(gap_s)
         dts.append(time_chained(fwd, params, img0, img1, n=n_chunk, warmup=2))
+    # best chunk = steady-state chip capability (relay degradation windows are
+    # strictly one-sided); the median over chunks is reported alongside so the
+    # statistic is auditable against the two-sided A100 average baseline.
     dt = min(dts)
+    dt_med = sorted(dts)[len(dts) // 2]
 
     pairs_per_sec = 1.0 / dt
     print(
@@ -99,6 +103,9 @@ def main():
                 "value": round(pairs_per_sec, 3),
                 "unit": "image_pairs/sec/chip",
                 "vs_baseline": round(pairs_per_sec / A100_PAIRS_PER_SEC, 3),
+                "median_of_chunks": round(1.0 / dt_med, 3),
+                "median_vs_baseline": round(1.0 / dt_med / A100_PAIRS_PER_SEC, 3),
+                "n_chunks": len(dts),
             }
         )
     )

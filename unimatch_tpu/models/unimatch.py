@@ -14,8 +14,9 @@ Optional RAFT-style regression refinement (reg_refine): per iteration, a
 flow-shifted local correlation feeds a ConvGRU update block
 (reference unimatch.py:272-354). NOTE (parity): the GRU hidden state is
 re-initialized from feature0 every iteration — the reference computes
-refine_proj inside the refine loop (unimatch.py:315-321); XLA CSEs the
-recomputation away.
+refine_proj inside the refine loop (unimatch.py:315-321) and discards the
+GRU's output hidden state; we hoist the loop-invariant projection out of
+the loop explicitly.
 
 Static-shape / trace-once design: `task`, per-scale radii/splits, and
 iteration counts are static jit arguments, so each (task, resolution,
@@ -285,6 +286,18 @@ class UniMatch(nn.Module):
 
                     assert infer.num_reg_refine > 0
 
+                    # refine_proj is loop-invariant: the reference recomputes
+                    # it every iteration and re-initializes the GRU hidden
+                    # state from it (unimatch.py:315-321) — the GRU's output
+                    # hidden state is never carried across iterations. We
+                    # hoist the computation out of the loop (keeping the
+                    # per-iteration re-initialization semantics) instead of
+                    # relying on XLA CSE.
+                    proj = self.refine_proj(feature0)
+                    net0, inp = jnp.split(proj, 2, axis=-1)
+                    net0 = jnp.tanh(net0)
+                    inp = jax.nn.relu(inp)
+
                     # NOTE: precomputed correlation volumes for the refine
                     # lookups were measured SLOWER than re-gathering feature
                     # rows on this TPU in two layouts — flat RAFT-style
@@ -326,12 +339,7 @@ class UniMatch(nn.Module):
                         else:
                             corr = _refine_corr(flow)
 
-                        proj = self.refine_proj(feature0)
-                        net, inp = jnp.split(proj, 2, axis=-1)
-                        net = jnp.tanh(net)
-                        inp = jax.nn.relu(inp)
-
-                        net, up_mask, residual_flow = self.refine(net, inp, corr, flow)
+                        _, up_mask, residual_flow = self.refine(net0, inp, corr, flow)
 
                         if task == "depth":
                             flow = jnp.clip(
