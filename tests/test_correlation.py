@@ -162,3 +162,29 @@ def test_tiled_volume_lookup_matches_feature_gather(rng, bshape, flow_scale):
     vol = C.build_tiled_correlation_volume(jnp.asarray(f0), jnp.asarray(f1), 4)
     via = C.local_correlation_with_flow_from_tiled_volume(vol, jnp.asarray(flow), 4)
     np.testing.assert_allclose(np.asarray(via), np.asarray(direct), rtol=1e-4, atol=1e-4)
+
+
+def test_model_refine_volume_dispatch_matches_direct(rng, monkeypatch):
+    """The refine loop's tiled-volume path == the direct gather path at the
+    model level (UNIMATCH_REFINE_VOLUME=1 forces the volume dispatch on CPU)."""
+    import jax
+    from unimatch_tpu.config import ModelConfig, InferenceConfig
+    from unimatch_tpu.models.unimatch import UniMatch
+
+    cfg = ModelConfig(task="flow", num_scales=1, upsample_factor=8, reg_refine=True)
+    infer = InferenceConfig(
+        attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,),
+        num_reg_refine=2,
+    )
+    model = UniMatch(config=cfg)
+    img0 = jnp.asarray((rng.rand(1, 32, 48, 3) * 255).astype(np.float32))
+    img1 = jnp.asarray((rng.rand(1, 32, 48, 3) * 255).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+
+    monkeypatch.setenv("UNIMATCH_REFINE_VOLUME", "0")
+    direct = model.apply(params, img0, img1, infer=infer)["flow_preds"][-1]
+    monkeypatch.setenv("UNIMATCH_REFINE_VOLUME", "1")
+    via_vol = model.apply(params, img0, img1, infer=infer)["flow_preds"][-1]
+    np.testing.assert_allclose(
+        np.asarray(via_vol), np.asarray(direct), rtol=1e-3, atol=1e-3
+    )

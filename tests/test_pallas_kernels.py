@@ -138,3 +138,37 @@ def test_fused_conv2d_matches_reference(rng):
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
             err_msg=f"kh={kh} kw={kw} cins={cins} cout={cout} act={act}",
         )
+
+
+def test_corr_volume_build_matches_reference(rng):
+    from unimatch_tpu.kernels.corr_volume import build_volume, _build_reference
+
+    b, p, c, m = 2, 300, 128, 6 * 256  # p not a multiple of the block
+    f0 = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    f1b = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    got = build_volume(f0, f1b, out_dtype=jnp.float32, block_p=128, interpret=True)
+    want = _build_reference(f0, f1b, jnp.float32)
+    assert got.shape[1] >= p
+    np.testing.assert_allclose(np.asarray(got[:, :p]), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_corr_volume_lookup_matches_reference(rng):
+    from unimatch_tpu.kernels.corr_volume import lookup_select_blend, _lookup_reference
+
+    n, k = 333, 9  # n not a multiple of the block
+    g = jnp.asarray(rng.randn(n, 4, 256).astype(np.float32))
+    sc = jnp.asarray(
+        np.stack(
+            [
+                rng.randint(0, 16, n).astype(np.float32),
+                rng.randint(0, 16, n).astype(np.float32),
+                rng.rand(n).astype(np.float32),
+                rng.rand(n).astype(np.float32),
+            ],
+            axis=-1,
+        )
+    )
+    got = lookup_select_blend(g, sc, k, 0.125, jnp.float32, block_p=128, interpret=True)
+    want = _lookup_reference(g, sc, k, 0.125, jnp.float32)
+    # interpret mode reorders the f32 blend slightly: tight but not bitwise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)

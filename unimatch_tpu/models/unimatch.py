@@ -298,19 +298,51 @@ class UniMatch(nn.Module):
                     net0 = jnp.tanh(net0)
                     inp = jax.nn.relu(inp)
 
-                    # NOTE: precomputed correlation volumes for the refine
-                    # lookups were measured SLOWER than re-gathering feature
-                    # rows on this TPU in two layouts — flat RAFT-style
-                    # (scalar lookups, 2x slower) and 16x16-unit tiled
-                    # (512 B gathers: lookup 25 ms vs direct 15 ms at bench
-                    # shape, plus an 85 ms volume build dominated by the
-                    # 2.4 GB HBM write). The unique-footprint row gather in
-                    # local_correlation_with_flow remains the fast path; the
-                    # volume ops stay available in ops/correlation.py.
-                    def _refine_corr(lookup_flow):
-                        return C.local_correlation_with_flow(
-                            feature0_ori, feature1_ori, lookup_flow, local_radius=4
+                    # Refine-correlation dispatch. The tiled-volume path
+                    # (build all-pairs correlations ONCE, then 4 contiguous
+                    # 512 B unit-gathers + a Pallas select/blend kernel per
+                    # iteration) amortizes the ~0.6 GB/iteration feature
+                    # re-gather of the direct path across the refine
+                    # iterations — exact for arbitrary flow (no smoothness
+                    # assumption). Pure-XLA versions of both volume build
+                    # and lookup measured SLOWER than the direct gather in
+                    # round 2 (85 ms build / 25 ms lookup); the Pallas
+                    # kernels in kernels/corr_volume.py remove both
+                    # bottlenecks. Training keeps the direct path (exact
+                    # reference gradients without a volume-sized cotangent).
+                    import os as _os
+
+                    _vol_env = _os.environ.get("UNIMATCH_REFINE_VOLUME", "auto")
+                    _b0, _h0, _w0 = feature0_ori.shape[:3]
+                    use_volume = (
+                        task != "depth"
+                        and not training
+                        and infer.num_reg_refine >= 2
+                        and C.tiled_volume_fits(
+                            _b0, _h0, _w0, 4,
+                            itemsize=jnp.dtype(feature0_ori.dtype).itemsize,
                         )
+                        and (
+                            _vol_env == "1"
+                            or (_vol_env == "auto" and jax.default_backend() == "tpu")
+                        )
+                    )
+                    if use_volume:
+                        refine_vol = C.build_tiled_correlation_volume(
+                            feature0_ori, feature1_ori, 4
+                        )
+
+                        def _refine_corr(lookup_flow):
+                            return C.local_correlation_with_flow_from_tiled_volume(
+                                refine_vol, lookup_flow, 4
+                            )
+
+                    else:
+
+                        def _refine_corr(lookup_flow):
+                            return C.local_correlation_with_flow(
+                                feature0_ori, feature1_ori, lookup_flow, local_radius=4
+                            )
 
                     for refine_iter_idx in range(infer.num_reg_refine):
                         flow = jax.lax.stop_gradient(flow)

@@ -264,22 +264,24 @@ def local_correlation_with_flow(
 class TiledVolume:
     """Precomputed all-pairs correlation volume in a gather-friendly layout.
 
-    vt: [B, HW, nR, nG, T*T] where unit (R, G) holds the T x T block of
+    vt: [B, Ppad, nR, nG, T*T] where unit (R, G) holds the T x T block of
     correlations against *zero-padded* feature1 rows [T*R, T*R+T) and cols
     [T*G, T*G+T) — each unit is contiguous (T*T = 256 elements = 512 B in
     bf16). Unit size is tuned to this TPU's measured gather cost curve:
     256 B-1 KB gather rows run ~13x cheaper per row than 32 B rows, so a
     window lookup is 4 unit-gathers per pixel rather than 100 scattered
-    scalars (the failure mode of the flat RAFT-style volume).
+    scalars (the failure mode of the flat RAFT-style volume). Ppad >= H*W
+    (Pallas build pads the pixel axis; rows >= H*W are unused).
     """
 
-    def __init__(self, vt, h, w, hp, wp, pad, tile, scale):
+    def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad):
         self.vt = vt
         self.h, self.w = h, w
         self.hp, self.wp = hp, wp
         self.pad = pad
         self.tile = tile
         self.scale = scale  # 1/sqrt(C)
+        self.ppad = ppad
 
 
 _VOL_TILE = 16
@@ -306,15 +308,18 @@ def build_tiled_correlation_volume(
     precomputing correlations amortizes that traffic: per iteration the lookup
     touches ~1 KB per pixel. The T-blocked layout is obtained for free by
     pre-blocking feature1's spatial axes before the dot — no transpose pass —
-    and the dot's preferred_element_type matches the storage dtype so the
-    volume is written once in bf16 (f32 MXU accumulation, single rounding —
-    the same rounding the direct path applies to its channel reduction).
-    Matches the zero-padding semantics of local_correlation_with_flow (padded
-    rows/cols correlate against zeros).
+    and the matmul rounds its f32 accumulation once to the storage dtype (the
+    same rounding the direct path applies to its channel reduction). On TPU
+    the matmul runs as a Pallas kernel (kernels/corr_volume.py): the plain
+    XLA einsum measured ~27 GB/s effective output bandwidth at this
+    K=128-thin shape (docs/PERF_NOTES.md). Matches the zero-padding
+    semantics of local_correlation_with_flow (padded rows/cols correlate
+    against zeros).
     """
     b, h, w, c = feature0.shape
     t = _VOL_TILE
     kk = 2 * local_radius + 2
+    assert kk <= t, "window must fit a 2x2 unit span"
     pad = kk + 2  # footprint start clamp range parks fully-OOB windows in zeros
     hp = -(-(h + 2 * pad) // t) * t
     wp = -(-(w + 2 * pad) // t) * t
@@ -325,9 +330,12 @@ def build_tiled_correlation_volume(
     f1b = f1p.reshape(b, nr, t, ng, t, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, nr * ng * t * t, c)
 
     f0 = feature0.reshape(b, h * w, c)
-    vt = jnp.einsum("blc,bmc->blm", f0, f1b, preferred_element_type=feature0.dtype)
-    vt = vt.reshape(b, h * w, nr, ng, t * t)
-    return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5))
+    from unimatch_tpu.kernels.corr_volume import build_volume
+
+    vt = build_volume(f0, f1b, out_dtype=feature0.dtype)  # [B, Ppad, M]
+    ppad = vt.shape[1]
+    vt = vt.reshape(b, ppad, nr, ng, t * t)
+    return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5), ppad)
 
 
 def local_correlation_with_flow_from_tiled_volume(
@@ -336,6 +344,12 @@ def local_correlation_with_flow_from_tiled_volume(
     """Window lookup into a TiledVolume — same values as
     local_correlation_with_flow (both paths round the f32 dot to the compute
     dtype before the bilinear blend). flow: [B, H, W, 2] -> [B, H, W, (2R+1)^2].
+
+    The unit gather (4 contiguous 512 B units per pixel, pixel-local indices)
+    runs as an XLA row gather; the span assembly + branchless rem selection +
+    bilinear blend run as a Pallas kernel on TPU so the [*, 10, 32]
+    select intermediates never touch HBM (kernels/corr_volume.py — the pure
+    XLA form of those selects measured ~25 ms/iteration at bench shape).
     """
     b = vol.vt.shape[0]
     h, w, hp, wp, pad, t = vol.h, vol.w, vol.hp, vol.wp, vol.pad, vol.tile
@@ -343,7 +357,6 @@ def local_correlation_with_flow_from_tiled_volume(
     k = 2 * r + 1
     kk = k + 1
     nr, ng = hp // t, wp // t
-    nu = (kk + t - 2) // t + 1  # units covering rem + kk along one axis (2 for kk=10, t=16)
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -351,8 +364,6 @@ def local_correlation_with_flow_from_tiled_volume(
     fy = ys[None] + flow[..., 1].astype(jnp.float32)
     bx = jnp.floor(fx)
     by = jnp.floor(fy)
-    wx1 = (fx - bx)[..., None, None]
-    wy1 = (fy - by)[..., None, None]
 
     # identical clamping to the direct path (zero-padded image coordinates)
     iy0 = jnp.clip(by - r + pad, 0, hp - kk).astype(jnp.int32)
@@ -362,10 +373,10 @@ def local_correlation_with_flow_from_tiled_volume(
     remy = iy0 - r0 * t
     remx = ix0 - g0 * t
 
-    # gather nu x nu units of t*t contiguous elements each
-    flat = vol.vt.reshape(b * h * w * nr * ng, t * t)
-    iu = jnp.arange(nu, dtype=jnp.int32)
-    base = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0) * (h * w * nr * ng) + (
+    # gather the 2x2 units covering rem + kk along each axis
+    flat = vol.vt.reshape(b * vol.ppad * nr * ng, t * t)
+    iu = jnp.arange(2, dtype=jnp.int32)
+    base = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0) * (vol.ppad * nr * ng) + (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w
         + jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
     ) * (nr * ng)
@@ -374,41 +385,24 @@ def local_correlation_with_flow_from_tiled_volume(
         + (r0[..., None, None] + iu[None, None, None, :, None]) * ng
         + g0[..., None, None]
         + iu[None, None, None, None, :]
-    )  # [B, H, W, nu, nu]
-    g = jnp.take(flat, idx.reshape(-1), axis=0)  # [B*H*W*nu*nu, t*t]
+    )  # [B, H, W, 2, 2]
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(b * h * w, 4, t * t)
 
-    # assemble the (nu*t) x (nu*t) patch: unit (i, j) holds rows t*i.., cols t*j..
-    span = nu * t
-    cp16 = (
-        g.reshape(b, h, w, nu, nu, t, t)
-        .transpose(0, 1, 2, 3, 5, 4, 6)
-        .reshape(b, h, w, span, span)
-    )
-
-    # branchless rem selection: rows then cols
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
-    cp16 = cp16.astype(ctype)
-    zero = jnp.zeros((), ctype)
-    remy_b = remy[..., None, None]
-    remx_b = remx[..., None, None]
-    cpr = sum(jnp.where(remy_b == a, cp16[..., a : a + kk, :], zero) for a in range(t))
-    cp = sum(jnp.where(remx_b == a, cpr[..., a : a + kk], zero) for a in range(t))
+    sc = jnp.stack(
+        [
+            remy.astype(jnp.float32).reshape(-1),
+            remx.astype(jnp.float32).reshape(-1),
+            (fx - bx).reshape(-1),
+            (fy - by).reshape(-1),
+        ],
+        axis=-1,
+    )  # [B*H*W, 4]
 
-    c00 = cp[..., 0:k, 0:k]
-    c01 = cp[..., 0:k, 1 : k + 1]
-    c10 = cp[..., 1 : k + 1, 0:k]
-    c11 = cp[..., 1 : k + 1, 1 : k + 1]
-    wx1 = wx1.astype(ctype)
-    wy1 = wy1.astype(ctype)
-    one = jnp.ones((), ctype)
-    corr = (
-        c00 * (one - wy1) * (one - wx1)
-        + c01 * (one - wy1) * wx1
-        + c10 * wy1 * (one - wx1)
-        + c11 * wy1 * wx1
-    )
-    corr = corr.reshape(b, h, w, k * k) * jnp.asarray(vol.scale, ctype)
-    return corr.astype(flow.dtype)
+    from unimatch_tpu.kernels.corr_volume import lookup_select_blend
+
+    corr = lookup_select_blend(g, sc, k, vol.scale, ctype)
+    return corr.reshape(b, h, w, k * k).astype(flow.dtype)
 
 
 def build_full_correlation_volume(feature0: jnp.ndarray, feature1: jnp.ndarray) -> jnp.ndarray:
