@@ -148,6 +148,17 @@ def run_reference(name, dtype):
     hooks.append(model.transformer.register_forward_hook(hook("transformer")))
     hooks.append(model.feature_flow_attn.register_forward_hook(hook("feature_flow_attn")))
 
+    # per-refine-iteration residual flow (output 2 of BasicUpdateBlock,
+    # reference unimatch.py:322-327): pins the refine loop stage-by-stage
+    # instead of only at the chaos-dominated final output. Only the small
+    # residual is stored (net/mask would add ~15 MB per case).
+    if getattr(model, "refine", None) is not None:
+        def refine_hook(_m, _inp, out):
+            i = counters.get("refine", 0)
+            counters["refine"] = i + 1
+            save_tensors(f"refine.call{i}.2", out[2])
+        hooks.append(model.refine.register_forward_hook(refine_hook))
+
     with torch.no_grad():
         out = model(torch.from_numpy(img0).permute(0, 3, 1, 2).to(dtype),
                     torch.from_numpy(img1).permute(0, 3, 1, 2).to(dtype),

@@ -47,6 +47,7 @@ STAGE_EPS = {
     "backbone": 2e-4,
     "transformer": 2e-3,
     "feature_flow_attn": 2e-2,
+    "refine": 2e-2,
     "flow_preds": 5e-2,
 }
 
@@ -135,6 +136,15 @@ def test_golden_parity(name):
     for si in range(cfg.num_scales):
         key = f"feature_flow_attn.call{si}"
         report[key] = _maxdiff(prop_calls[si], fix[key])
+
+    # per-refine-iteration residual flow (output 2 of BasicUpdateBlock):
+    # pins the refine loop stage-by-stage with per-iteration fp32 floors,
+    # instead of relying only on the chaos-dominated final output
+    if cfg.reg_refine and "refine.call0.2" in fix.files:
+        ref_calls = calls("refine")
+        for it in range(infer.num_reg_refine):
+            key = f"refine.call{it}.2"
+            report[key] = _maxdiff(ref_calls[it][2], fix[key])
 
     # final full-resolution prediction
     report["flow_preds.0"] = _maxdiff(out["flow_preds"][-1], fix["flow_preds.0"])

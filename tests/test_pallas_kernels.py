@@ -156,7 +156,7 @@ def test_corr_volume_lookup_matches_reference(rng):
     from unimatch_tpu.kernels.corr_volume import lookup_select_blend, _lookup_reference
 
     n, k = 333, 9  # n not a multiple of the block
-    g = jnp.asarray(rng.randn(n, 4, 256).astype(np.float32))
+    g = jnp.asarray(rng.randn(4, n, 256).astype(np.float32))
     sc = jnp.asarray(
         np.stack(
             [

@@ -68,3 +68,50 @@ def test_sp_non_divisible_tokens_falls_back(rng):
     with sequence_parallel(mesh):
         got, _ = C.global_correlation_softmax(f0, f1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_sp_stereo_row_volume_matches_single(rng):
+    """Sharded per-row stereo correlation == single device (8-way over H)."""
+    from unimatch_tpu.parallel.sequence_parallel import (
+        sp_global_correlation_softmax_stereo,
+    )
+
+    b, h, w, c = 1, 16, 24, 32
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    ref, _ = C.global_correlation_softmax_stereo(f0, f1)
+    mesh = make_mesh(jax.devices(), axis="sp")
+    got = sp_global_correlation_softmax_stereo(mesh, f0, f1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # dispatch path: the op itself routes through SP under the context
+    from unimatch_tpu.parallel.context import sequence_parallel
+
+    with sequence_parallel(mesh):
+        via_ctx, prob = C.global_correlation_softmax_stereo(f0, f1)
+    assert prob is None  # SP path does not materialize the volume
+    np.testing.assert_allclose(np.asarray(via_ctx), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_sp_decline_warns_once(rng):
+    """A non-divisible token count under an active SP context warns."""
+    import warnings as _w
+
+    from unimatch_tpu.parallel.context import sequence_parallel, _warned_declines
+
+    b, h, w, c = 1, 7, 24, 32  # h=7 does not divide 8 devices
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    mesh = make_mesh(jax.devices(), axis="sp")
+
+    _warned_declines.clear()
+    with sequence_parallel(mesh):
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got, _ = C.global_correlation_softmax_stereo(f0, f1)
+            C.global_correlation_softmax_stereo(f0, f1)  # second call: no new warning
+    msgs = [str(c.message) for c in caught if "sequence-parallel declined" in str(c.message)]
+    assert len(msgs) == 1, msgs
+    ref, _ = C.global_correlation_softmax_stereo(f0, f1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

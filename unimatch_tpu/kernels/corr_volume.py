@@ -144,78 +144,115 @@ def build_volume(f0: jnp.ndarray, f1b: jnp.ndarray, out_dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 
-def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float):
-    kk = k + 1
-    t = TILE
-    dt = o_ref.dtype
-    g = g_ref[...]  # [BP, 4, t*t] units in (r, g) row-major order
-    bp = g.shape[0]
+def _shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Static left shift along lanes, zero-filled tail (wrap is never read)."""
+    if s == 0:
+        return x
+    return jnp.concatenate([x[:, s:], jnp.zeros((x.shape[0], s), x.dtype)], axis=1)
 
-    # span assembly: unit (i, j) holds rows t*i.., cols t*j.. -> [BP, 2t, 2t]
-    span = (
-        g.reshape(bp, 2, 2, t, t).transpose(0, 1, 3, 2, 4).reshape(bp, 2 * t, 2 * t)
-    ).astype(dt)
+
+def _var_shift_left(x: jnp.ndarray, val: jnp.ndarray, unit: int) -> jnp.ndarray:
+    """Per-pixel left shift by unit*val lanes, val in [0, 16): 4 static shifts
+    + per-pixel selects on the bits of val (Mosaic has no per-row rotate)."""
+    for kbit in range(4):
+        bit = 1 << kbit
+        x = jnp.where((val & bit) != 0, _shift_left(x, unit * bit), x)
+    return x
+
+
+def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float):
+    """Reshape-free select/blend on gathered 2x2 unit spans.
+
+    Lane layout (Mosaic rejects in-kernel minor reshapes, so everything is
+    expressed as lane slices/concats/shifts on 2-D [BP, lanes] tensors):
+    the 4 gathered units arrive in LEFT-COLUMN-MAJOR order (top-left,
+    bottom-left, top-right, bottom-right), each internally (row, col)
+    row-major, so the 1024-lane concat holds the left half of the 32x32 span
+    as rows 0..31 at lanes 16r+c in [0, 512) and the right half at
+    [512, 1024). A single variable left-shift by 16*remy lane units aligns
+    the y-window for BOTH halves simultaneously; the x-window alignment is a
+    variable shift by remx for in-row columns plus a static +496 shifted copy
+    that pulls columns that straddle into the right half; tap (dy, dx) then
+    sits at lane 16*dy + dx and the 4 bilinear corners are static shifts of
+    1 / 16 / 17 lanes.
+    """
+    kk = k + 1
+    assert kk <= TILE
+    dt = o_ref.dtype
+
+    # g_ref: [4, BP, 256] — unit axis leading so each unit slice is a clean
+    # 2-D block (Mosaic rejects lane-concat of middle-axis slices whose
+    # layouts carry different sublane offsets)
+    span = jnp.concatenate(
+        [g_ref[0], g_ref[1], g_ref[2], g_ref[3]], axis=1
+    ).astype(dt)  # [BP, 1024]
 
     sc = sc_ref[...]  # [BP, 4] f32: remy, remx, wx1, wy1
-    remy = sc[:, 0:1]
-    remx = sc[:, 1:2]
-    zero = jnp.zeros((), dt)
+    remy = sc[:, 0:1].astype(jnp.int32)
+    remx = sc[:, 1:2].astype(jnp.int32)
 
-    # branchless rem selection (rows then cols) — entirely VMEM-resident
-    cpr = None
-    for a in range(t):
-        term = jnp.where((remy == a)[:, :, None], span[:, a : a + kk, :], zero)
-        cpr = term if cpr is None else cpr + term  # [BP, kk, 2t]
-    cp = None
-    for bcol in range(t):
-        term = jnp.where((remx == bcol)[:, :, None], cpr[:, :, bcol : bcol + kk], zero)
-        cp = term if cp is None else cp + term  # [BP, kk, kk]
+    # y-align: row (remy + dy) of both halves lands at lane 16*dy + c
+    span = _var_shift_left(span, remy, TILE)
+    # x-align: col (remx + dx) -> lane 16*dy + dx. In-row when
+    # remx + dx < 16; straddling columns live in the right half at a static
+    # +496 offset after the same remx shift.
+    a = _var_shift_left(span, remx, 1)
+    b = _shift_left(a, 512 - TILE)
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) % TILE
+    cp = jnp.where(col + remx < TILE, a, b)  # [BP, 1024]; tap (dy,dx) at 16dy+dx
 
-    wx1 = sc[:, 2:3].astype(dt)[:, :, None]
-    wy1 = sc[:, 3:4].astype(dt)[:, :, None]
+    c00 = cp
+    c01 = _shift_left(cp, 1)
+    c10 = _shift_left(cp, TILE)
+    c11 = _shift_left(cp, TILE + 1)
+    wx1 = sc[:, 2:3].astype(dt)
+    wy1 = sc[:, 3:4].astype(dt)
     one = jnp.ones((), dt)
-    c00 = cp[:, 0:k, 0:k]
-    c01 = cp[:, 0:k, 1 : k + 1]
-    c10 = cp[:, 1 : k + 1, 0:k]
-    c11 = cp[:, 1 : k + 1, 1 : k + 1]
     corr = (
         c00 * (one - wy1) * (one - wx1)
         + c01 * (one - wy1) * wx1
         + c10 * wy1 * (one - wx1)
         + c11 * wy1 * wx1
     )
-    o_ref[...] = (corr * jnp.asarray(scale, dt)).reshape(bp, k * k)
+    corr = corr * jnp.asarray(scale, dt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1)
+    valid = ((lane % TILE) < k) & (lane < k * TILE)
+    o_ref[...] = jnp.where(valid, corr, jnp.zeros((), dt))[:, : o_ref.shape[1]]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "scale", "out_dtype", "block_p", "interpret"))
 def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False):
-    n = g.shape[0]
+    n = g.shape[1]
+    kk = k + 1
     npad = -(-n // block_p) * block_p
     if npad != n:
-        g = jnp.pad(g, ((0, npad - n), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, npad - n), (0, 0)))
         sc = jnp.pad(sc, ((0, npad - n), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, k=k, scale=scale),
         grid=(npad // block_p,),
         in_specs=[
-            pl.BlockSpec((block_p, 4, TILE**2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_p, TILE**2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_p, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_p, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, k * k), out_dtype),
+        out_specs=pl.BlockSpec((block_p, kk * TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, kk * TILE), out_dtype),
         interpret=interpret,
     )(g, sc)
     return out[:n]
 
 
 def _lookup_reference(g, sc, k, scale, out_dtype):
-    """jnp twin of _lookup_kernel (bit-identical given the same inputs)."""
+    """jnp twin of _lookup_kernel: same math and output layout, with the
+    span/select expressed via the reshapes XLA supports natively."""
     kk = k + 1
     t = TILE
-    n = g.shape[0]
-    span = (
-        g.reshape(n, 2, 2, t, t).transpose(0, 1, 3, 2, 4).reshape(n, 2 * t, 2 * t)
-    ).astype(out_dtype)
+    n = g.shape[1]
+    # units arrive left-column-major on the leading axis: [top-left,
+    # bottom-left, top-right, bottom-right], each (row, col) row-major
+    left = jnp.stack([g[0], g[1]], axis=1).reshape(n, 2 * t, t)
+    right = jnp.stack([g[2], g[3]], axis=1).reshape(n, 2 * t, t)
+    span = jnp.concatenate([left, right], axis=2).astype(out_dtype)  # [N, 2t, 2t]
     remy = sc[:, 0:1]
     remx = sc[:, 1:2]
     zero = jnp.zeros((), out_dtype)
@@ -224,7 +261,7 @@ def _lookup_reference(g, sc, k, scale, out_dtype):
     )
     cp = sum(
         jnp.where((remx == b)[:, :, None], cpr[:, :, b : b + kk], zero) for b in range(t)
-    )
+    )  # [N, kk, kk]
     wx1 = sc[:, 2:3].astype(out_dtype)[:, :, None]
     wy1 = sc[:, 3:4].astype(out_dtype)[:, :, None]
     one = jnp.ones((), out_dtype)
@@ -238,7 +275,11 @@ def _lookup_reference(g, sc, k, scale, out_dtype):
         + c10 * wy1 * (one - wx1)
         + c11 * wy1 * wx1
     )
-    return (corr * jnp.asarray(scale, out_dtype)).reshape(n, k * k)
+    corr = corr * jnp.asarray(scale, out_dtype)  # [N, k, k]
+    # kernel output layout: tap (dy, dx) at lane TILE*dy + dx
+    out = jnp.zeros((n, kk, t), out_dtype)
+    out = out.at[:, :k, :k].set(corr)
+    return out.reshape(n, kk * t)
 
 
 @functools.lru_cache(maxsize=None)
@@ -264,9 +305,13 @@ def lookup_select_blend(g: jnp.ndarray, sc: jnp.ndarray, k: int, scale: float,
                         interpret: bool = False) -> jnp.ndarray:
     """Select + bilinear-blend gathered 2x2 volume units.
 
-    g: [N, 4, 256] units for N pixels (row-major (r, g) order);
-    sc: [N, 4] f32 packed per-pixel scalars (remy, remx, wx1, wy1).
-    Returns [N, k*k] window correlations in out_dtype (scale applied).
+    g: [4, N, 256] units for N pixels, unit axis leading, in
+    LEFT-COLUMN-MAJOR order (top-left, bottom-left, top-right,
+    bottom-right), each unit (row, col) row-major; sc: [N, 4] f32 packed
+    per-pixel scalars (remy, remx, wx1, wy1). Returns [N, (k+1)*TILE] in
+    out_dtype with window tap (dy, dx) at lane TILE*dy + dx (scale applied,
+    unused lanes zero) — callers compact via
+    reshape(..., k+1, TILE)[:, :k, :k].
     """
     if interpret:
         return _lookup_impl(g, sc, k, scale, out_dtype, block_p=block_p, interpret=True)

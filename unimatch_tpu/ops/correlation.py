@@ -373,7 +373,9 @@ def local_correlation_with_flow_from_tiled_volume(
     remy = iy0 - r0 * t
     remx = ix0 - g0 * t
 
-    # gather the 2x2 units covering rem + kk along each axis
+    # gather the 2x2 units covering rem + kk along each axis, in the
+    # left-column-major order the lookup kernel's lane layout expects:
+    # (top-left, bottom-left, top-right, bottom-right)
     flat = vol.vt.reshape(b * vol.ppad * nr * ng, t * t)
     iu = jnp.arange(2, dtype=jnp.int32)
     base = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0) * (vol.ppad * nr * ng) + (
@@ -381,12 +383,12 @@ def local_correlation_with_flow_from_tiled_volume(
         + jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
     ) * (nr * ng)
     idx = (
-        base[..., None, None]
-        + (r0[..., None, None] + iu[None, None, None, :, None]) * ng
-        + g0[..., None, None]
-        + iu[None, None, None, None, :]
-    )  # [B, H, W, 2, 2]
-    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(b * h * w, 4, t * t)
+        base[None, None]
+        + (r0[None, None] + iu[None, :, None, None, None]) * ng
+        + g0[None, None]
+        + iu[:, None, None, None, None]
+    )  # [2 (x-unit), 2 (y-unit), B, H, W]
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b * h * w, t * t)
 
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
     sc = jnp.stack(
@@ -401,8 +403,9 @@ def local_correlation_with_flow_from_tiled_volume(
 
     from unimatch_tpu.kernels.corr_volume import lookup_select_blend
 
-    corr = lookup_select_blend(g, sc, k, vol.scale, ctype)
-    return corr.reshape(b, h, w, k * k).astype(flow.dtype)
+    out = lookup_select_blend(g, sc, k, vol.scale, ctype)  # [N, kk*TILE]
+    corr = out.reshape(b, h, w, kk, t)[..., :k, :k].reshape(b, h, w, k * k)
+    return corr.astype(flow.dtype)
 
 
 def build_full_correlation_volume(feature0: jnp.ndarray, feature1: jnp.ndarray) -> jnp.ndarray:
@@ -483,6 +486,18 @@ def global_correlation_softmax_stereo(
     Reference matching.py:126-151.
     """
     b, h, w, c = feature0.shape
+
+    from unimatch_tpu.parallel.context import sp_applicable
+
+    sp = sp_applicable(h)  # the volume is row-separable: shard H
+    if sp is not None:
+        from unimatch_tpu.parallel.sequence_parallel import (
+            sp_global_correlation_softmax_stereo,
+        )
+
+        mesh, axis = sp
+        return sp_global_correlation_softmax_stereo(mesh, feature0, feature1, axis=axis), None
+
     corr = jnp.einsum(
         "bhic,bhjc->bhij", feature0, feature1, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(c))  # [B, H, W, W]

@@ -47,12 +47,34 @@ def sequence_parallel(mesh: Mesh, axis: str = "sp"):
         _state.sp = prev
 
 
+_warned_declines = set()
+
+
 def sp_applicable(num_tokens: int) -> Optional[tuple]:
-    """Return (mesh, axis) when SP is active and divides num_tokens."""
+    """Return (mesh, axis) when SP is active and divides num_tokens.
+
+    When SP is active but the token count does not divide the mesh, a
+    warning is emitted (once per (tokens, devices) pair) so a user passing
+    --num_sp_devices on an off-size image learns they silently got the
+    single-device path — and can pad to a divisible size.
+    """
     sp = current_sp()
     if sp is None:
         return None
     mesh, axis = sp
-    if num_tokens % mesh.shape[axis] != 0:
+    n = mesh.shape[axis]
+    if num_tokens % n != 0:
+        key = (num_tokens, n)
+        if key not in _warned_declines:
+            _warned_declines.add(key)
+            import warnings
+
+            warnings.warn(
+                f"sequence-parallel declined for this stage: {num_tokens} tokens "
+                f"do not divide mesh axis '{axis}' ({n} devices); executing "
+                f"single-device. Pad the input so the sharded dimension divides "
+                f"the mesh to enable SP.",
+                stacklevel=3,
+            )
         return None
     return sp

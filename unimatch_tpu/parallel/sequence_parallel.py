@@ -45,6 +45,42 @@ def sp_attention_expectation(
     return fn(q, k, v)
 
 
+def sp_global_correlation_softmax_stereo(
+    mesh: Mesh, feature0: jnp.ndarray, feature1: jnp.ndarray, axis: str = "sp"
+) -> jnp.ndarray:
+    """Sequence-parallel per-scanline stereo matching: disparity [B, H, W, 1].
+
+    The stereo cost volume [B, H, W, W] (reference matching.py:126-151) is
+    row-separable: row h of the volume depends only on row h of both feature
+    maps, so sharding H over the mesh needs NO replication and no collectives
+    beyond the output's implicit all-gather — each device builds and reduces
+    its own [B, H/n, W, W] block (SURVEY §5's "natural row-block pattern").
+    Same values as ops.correlation.global_correlation_softmax_stereo.
+    """
+
+    def block(f0_blk, f1_blk):
+        b, h, w, c = f0_blk.shape
+        corr = jnp.einsum(
+            "bhic,bhjc->bhij", f0_blk, f1_blk, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(c))
+        j = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        corr = jnp.where((j <= i)[None, None], corr, -1e9)
+        prob = jax.nn.softmax(corr, axis=-1)
+        x_grid = jnp.arange(w, dtype=jnp.float32)
+        correspondence = jnp.einsum("bhij,j->bhi", prob, x_grid)
+        disparity = x_grid[None, None, :] - correspondence
+        return disparity.astype(f0_blk.dtype)[..., None]
+
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+    )
+    return fn(feature0, feature1)
+
+
 def sp_global_correlation_softmax(
     mesh: Mesh, feature0: jnp.ndarray, feature1: jnp.ndarray, axis: str = "sp"
 ) -> jnp.ndarray:
