@@ -115,3 +115,26 @@ def test_sp_decline_warns_once(rng):
     assert len(msgs) == 1, msgs
     ref, _ = C.global_correlation_softmax_stereo(f0, f1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sp_refine_correlation_matches_single(rng):
+    """Sharded flow-shifted refine correlation == single device (8-way over H,
+    feature1 replicated — the refine loop's hot gather, VERDICT r2 missing #4)."""
+    from unimatch_tpu.parallel.context import sequence_parallel
+    from unimatch_tpu.parallel.sequence_parallel import sp_local_correlation_with_flow
+
+    b, h, w, c = 1, 16, 24, 32
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    flow = jnp.asarray((rng.randn(b, h, w, 2) * 3).astype(np.float32))
+
+    ref = C.local_correlation_with_flow(f0, f1, flow, 4)
+
+    mesh = make_mesh(jax.devices(), axis="sp")
+    got = sp_local_correlation_with_flow(mesh, f0, f1, flow, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    # ambient-context dispatch inside the op itself
+    with sequence_parallel(mesh):
+        got_ctx = C.local_correlation_with_flow(f0, f1, flow, 4)
+    np.testing.assert_allclose(np.asarray(got_ctx), np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -13,6 +13,7 @@ each application an MXU-tiled convolution.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 import jax
@@ -20,6 +21,27 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from unimatch_tpu.models.layers import conv2d, instance_norm, conv_kaiming_init
+
+
+def _fused_in() -> bool:
+    """Fused conv+IN(+relu) (f32-accumulator statistics, no bf16 round-trip
+    between conv and norm). UNIMATCH_FUSE_IN=0 re-traces the split form for
+    A/B measurement; numerics are identical in f32 and the fused form is the
+    more accurate one in bf16 (norm sees the un-rounded accumulator)."""
+    return os.environ.get("UNIMATCH_FUSE_IN", "1") != "0"
+
+
+def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
+             use_bias=False, act=None, name=None):
+    """conv -> instance norm -> act, fused when enabled (dilation 1 only —
+    the dilated path runs lax.conv which keeps its own layout)."""
+    if _fused_in() and dilation == 1:
+        return conv2d(planes, kernel, stride=stride, padding=padding,
+                      use_bias=use_bias, norm="instance", act=act, name=name)(x)
+    y = conv2d(planes, kernel, stride=stride, padding=padding, dilation=dilation,
+               use_bias=use_bias, name=name)(x)
+    y = instance_norm(y)
+    return jax.nn.relu(y) if act == "relu" else y
 
 
 class ResidualBlock(nn.Module):
@@ -35,18 +57,14 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_planes = x.shape[-1]
-        y = conv2d(
-            self.planes, 3, stride=self.stride, padding=self.dilation,
-            dilation=self.dilation, use_bias=False, name="conv1",
-        )(x)
-        y = jax.nn.relu(instance_norm(y))
-        y = conv2d(self.planes, 3, padding=self.dilation, dilation=self.dilation,
-                   use_bias=False, name="conv2")(y)
-        y = jax.nn.relu(instance_norm(y))
+        y = _conv_in(x, self.planes, stride=self.stride, padding=self.dilation,
+                     dilation=self.dilation, act="relu", name="conv1")
+        y = _conv_in(y, self.planes, padding=self.dilation,
+                     dilation=self.dilation, act="relu", name="conv2")
 
         if self.stride != 1 or in_planes != self.planes:
-            x = conv2d(self.planes, 1, stride=self.stride, name="downsample")(x)
-            x = instance_norm(x)
+            x = _conv_in(x, self.planes, kernel=1, stride=self.stride,
+                         padding=0, use_bias=True, name="downsample")
         return jax.nn.relu(x + y)
 
 
@@ -95,8 +113,8 @@ class CNNEncoder(nn.Module):
         feature_dims = (64, 96, 128)
         all_scales: List[jnp.ndarray] = []
 
-        x = conv2d(feature_dims[0], 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
-        x = jax.nn.relu(instance_norm(x))
+        x = _conv_in(x, feature_dims[0], kernel=7, stride=2, padding=3,
+                     act="relu", name="conv1")
 
         # stage 1 (1/2)
         x = ResidualBlock(feature_dims[0], stride=1, name="layer1_0")(x)

@@ -16,12 +16,22 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Affine-free instance normalization over spatial dims of [B, H, W, C]."""
-    x32 = x.astype(jnp.float32)
+def _instance_norm_f32(x32: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Normalize an f32 [B, H, W, C] tensor over (H, W); returns f32.
+
+    Subtract-mean variance (not the one-pass E[x^2]-E[x]^2 form): the
+    one-pass form's ~1e-7 statistic shift amplifies through the global
+    matching softmax enough to bust end-to-end parity tolerances, and the
+    extra read pass it saves did not measure above noise on chip.
+    """
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps)
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Affine-free instance normalization over spatial dims of [B, H, W, C]."""
+    return _instance_norm_f32(x.astype(jnp.float32), eps).astype(x.dtype)
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
@@ -51,6 +61,7 @@ def conv_via_matmul(
     kernel: jnp.ndarray,  # [kh, kw, cin, cout]
     stride: Tuple[int, int],
     padding: Tuple[int, int],
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Convolution lowered to shifted matmuls (MXU-friendly).
 
@@ -59,7 +70,11 @@ def conv_via_matmul(
     matmuls reach it. Stride > 1 is realized with a space-to-depth transform
     so every slice stays stride-1 (strided slices are also pathological).
     Exact (fp32-accumulated) semantics of lax.conv with symmetric padding.
+    out_dtype=jnp.float32 hands back the raw f32 accumulator (for fused
+    consumers like instance norm that want moments before the narrowing cast).
     """
+    if out_dtype is None:
+        out_dtype = x.dtype
     kh, kw, cin, cout = kernel.shape
     sh, sw = stride
     ph, pw = padding
@@ -79,7 +94,7 @@ def conv_via_matmul(
                     preferred_element_type=jnp.float32,
                 )
                 acc = part if acc is None else acc + part
-        return acc.astype(x.dtype)
+        return acc.astype(out_dtype)
 
     assert sh == sw, "anisotropic strides use lax.conv"
     s = sh
@@ -120,7 +135,7 @@ def conv_via_matmul(
             sl = xs[:, a : a + oh, bb : bb + ow, :]
             part = jnp.einsum("bhwc,co->bhwo", sl, k2, preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
-    return acc.astype(x.dtype)
+    return acc.astype(out_dtype)
 
 
 class Conv2d(nn.Module):
@@ -142,7 +157,8 @@ class Conv2d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     kernel_init: Any = conv_kaiming_init
-    act: Any = None  # None | 'relu' | 'sigmoid' | 'tanh', applied after bias
+    act: Any = None  # None | 'relu' | 'sigmoid' | 'tanh', applied after bias+norm
+    norm: Any = None  # None | 'instance', applied after bias, before act
     fuse: bool = False  # dispatch to the fused Pallas kernel on TPU
 
     @nn.compact
@@ -152,7 +168,7 @@ class Conv2d(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
 
         same_pad = self.padding == ((kh - 1) // 2, (kw - 1) // 2)
-        if self.fuse and self.stride == (1, 1) and self.dilation == 1 and same_pad:
+        if self.fuse and self.norm is None and self.stride == (1, 1) and self.dilation == 1 and same_pad:
             from unimatch_tpu.kernels import use_pallas
 
             if use_pallas():
@@ -166,10 +182,18 @@ class Conv2d(nn.Module):
                 return fused_conv2d([x], kernel.astype(x.dtype), bias, act=self.act)
 
         kernel = kernel.astype(x.dtype)
+        # Fused conv+IN(+act): the matmul path hands back its raw f32
+        # accumulator so the norm statistics come straight off it (no bf16
+        # round-trip, one read pass for both moments) and only the final
+        # normalized activation narrows to x.dtype.
+        fuse_norm = self.norm == "instance" and self.dilation == 1
         # lax.conv is erratically slow on this TPU runtime at every channel
         # width we measured (up to 25x off peak); shifted matmuls are reliable
         if self.dilation == 1:
-            y = conv_via_matmul(x, kernel, self.stride, self.padding)
+            y = conv_via_matmul(
+                x, kernel, self.stride, self.padding,
+                out_dtype=jnp.float32 if fuse_norm else None,
+            )
         else:
             y = jax.lax.conv_general_dilated(
                 x,
@@ -182,6 +206,10 @@ class Conv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
+        if self.norm == "instance":
+            y = _instance_norm_f32(y.astype(jnp.float32))
+            y = _ACT_FNS[self.act](y).astype(x.dtype)
+            return y
         return _ACT_FNS[self.act](y)
 
 
@@ -194,6 +222,7 @@ def conv2d(
     use_bias: bool = True,
     kernel_init=conv_kaiming_init,
     act=None,
+    norm=None,
     fuse: bool = False,
     name: str | None = None,
 ) -> Conv2d:
@@ -212,6 +241,7 @@ def conv2d(
         use_bias=use_bias,
         kernel_init=kernel_init,
         act=act,
+        norm=norm,
         fuse=fuse,
         name=name,
     )

@@ -21,6 +21,7 @@ trick as the transformer's combined qkv projection, transformer.py:61-80).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -35,13 +36,25 @@ from unimatch_tpu.models.layers import (
 )
 
 
+def _fuse_conv() -> bool:
+    """Dispatch the refine-path K>1 convolutions to the Pallas fused-conv
+    kernel (VMEM tap accumulator, each input read once per tile instead of
+    once per tap — kernels/conv_fused.py). The XLA shifted-matmul form moves
+    ~1 GB of HBM tap re-reads per refine iteration at the flagship shape;
+    UNIMATCH_FUSE_CONV toggles for A/B measurement."""
+    return os.environ.get("UNIMATCH_FUSE_CONV", "1") != "0"
+
+
 class FlowHead(nn.Module):
     hidden_dim: int = 256
     out_dim: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = conv2d(self.hidden_dim, 3, padding=1, act="relu", name="conv1")(x)
+        y = conv2d(self.hidden_dim, 3, padding=1, act="relu", fuse=_fuse_conv(),
+                   name="conv1")(x)
+        # out_dim is 1-2: a 2-lane Pallas output block is MXU/VPU-hostile,
+        # keep the narrow head on the XLA path
         return conv2d(self.out_dim, 3, padding=1, name="conv2")(y)
 
 
@@ -72,21 +85,38 @@ class SepConvGRU(nn.Module):
 
         # x-side: one conv over the virtual x concat, 3*hd outputs
         kx = jnp.concatenate([kz[:, :, hd:], kr[:, :, hd:], kq[:, :, hd:]], axis=-1)
-        xacc = None
-        off = 0
-        for p in x_parts:
-            ci = p.shape[-1]
-            y = conv_via_matmul(p, kx[:, :, off : off + ci, :], (1, 1), pad)
-            xacc = y if xacc is None else xacc + y
-            off += ci
+        khzr = jnp.concatenate([kz[:, :, :hd], kr[:, :, :hd]], axis=-1)
+
+        fused = False
+        if _fuse_conv():
+            from unimatch_tpu.kernels import use_pallas
+
+            fused = use_pallas()
+        if fused:
+            from unimatch_tpu.kernels.conv_fused import fused_conv2d
+
+            xacc = fused_conv2d(x_parts, kx)
+            hzr = fused_conv2d([h], khzr)
+        else:
+            xacc = None
+            off = 0
+            for p in x_parts:
+                ci = p.shape[-1]
+                y = conv_via_matmul(p, kx[:, :, off : off + ci, :], (1, 1), pad)
+                xacc = y if xacc is None else xacc + y
+                off += ci
+            hzr = conv_via_matmul(h, khzr, (1, 1), pad)
         xz, xr, xq = xacc[..., :hd], xacc[..., hd : 2 * hd], xacc[..., 2 * hd :]
 
-        # h-side of z/r: one conv, 2*hd outputs
-        hzr = conv_via_matmul(h, jnp.concatenate([kz[:, :, :hd], kr[:, :, :hd]], axis=-1),
-                              (1, 1), pad)
         z = jax.nn.sigmoid(hzr[..., :hd] + xz + bz)
         r = jax.nn.sigmoid(hzr[..., hd:] + xr + br)
-        q = jnp.tanh(conv_via_matmul(r * h, kq[:, :, :hd, :], (1, 1), pad) + xq + bq)
+        rh = r * h
+        qh = (
+            fused_conv2d([rh], kq[:, :, :hd, :])
+            if fused
+            else conv_via_matmul(rh, kq[:, :, :hd, :], (1, 1), pad)
+        )
+        q = jnp.tanh(qh + xq + bq)
         return (1 - z) * h + z * q
 
     @nn.compact
@@ -107,12 +137,16 @@ class BasicMotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+        fuse = _fuse_conv()
+        # convf1 especially: a 7x7 conv on a 2-channel map reads ~64x its
+        # logical bytes per tap through the lane-padded XLA layout; the Pallas
+        # kernel DMAs the map once and unrolls the 49 taps from VMEM
         cor = conv2d(256, 1, act="relu", name="convc1")(corr)
-        cor = conv2d(192, 3, padding=1, act="relu", name="convc2")(cor)
-        flo = jax.nn.relu(conv2d(128, 7, padding=3, name="convf1")(flow))
-        flo = conv2d(64, 3, padding=1, act="relu", name="convf2")(flo)
+        cor = conv2d(192, 3, padding=1, act="relu", fuse=fuse, name="convc2")(cor)
+        flo = conv2d(128, 7, padding=3, act="relu", fuse=fuse, name="convf1")(flow)
+        flo = conv2d(64, 3, padding=1, act="relu", fuse=fuse, name="convf2")(flo)
         out = conv2d_multi(
-            128 - self.flow_channels, 3, padding=1, act="relu", name="conv"
+            128 - self.flow_channels, 3, padding=1, act="relu", fuse=fuse, name="conv"
         )([cor, flo])
         return [out, flow]  # virtual concat, 128 channels
 
@@ -133,6 +167,6 @@ class BasicUpdateBlock(nn.Module):
 
         mask = None
         if not self.bilinear_up:
-            m = conv2d(256, 3, padding=1, act="relu", name="mask_0")(net)
+            m = conv2d(256, 3, padding=1, act="relu", fuse=_fuse_conv(), name="mask_0")(net)
             mask = conv2d(self.downsample_factor**2 * 9, 1, name="mask_2")(m)
         return net, mask, delta

@@ -144,6 +144,8 @@ def local_correlation_with_flow(
     flow: jnp.ndarray,
     local_radius: int,
     dilation: int = 1,
+    _sp_dispatch: bool = True,
+    _row_offset=0,
 ) -> jnp.ndarray:
     """Flow-shifted window correlation for refinement.
 
@@ -178,7 +180,23 @@ def local_correlation_with_flow(
     nq = math.ceil(kk / q) + 1
     assert dilation == 1, "dilation > 1 uses the generic sampling path"
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    if _sp_dispatch:
+        from unimatch_tpu.parallel.context import sp_applicable
+
+        sp = sp_applicable(h)  # queries/flow are row-separable: shard H
+        if sp is not None:
+            from unimatch_tpu.parallel.sequence_parallel import sp_local_correlation_with_flow
+
+            mesh, axis = sp
+            return sp_local_correlation_with_flow(
+                mesh, feature0, feature1, flow, local_radius, axis=axis
+            )
+
+    # _row_offset: feature0/flow may be a row-block of a larger map (sequence
+    # parallelism) — queries live at global rows [offset, offset + h) of
+    # feature1, whose own height h1 governs the gather layout
+    h1 = feature1.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + _row_offset
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     fx = xs[None] + flow[..., 0].astype(jnp.float32)
     fy = ys[None] + flow[..., 1].astype(jnp.float32)
@@ -193,7 +211,7 @@ def local_correlation_with_flow(
     pad = kk + q
     wp = -(-(w + 2 * pad) // q) * q + q
     f1p = jnp.pad(feature1, ((0, 0), (pad, pad), (pad, wp - w - pad), (0, 0)))
-    hp = h + 2 * pad
+    hp = h1 + 2 * pad
 
     iy0 = jnp.clip(by - r + pad, 0, hp - kk).astype(jnp.int32)
     ix0 = jnp.clip(bx - r + pad, 0, w + 2 * pad - kk).astype(jnp.int32)

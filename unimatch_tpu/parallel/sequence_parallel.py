@@ -81,6 +81,45 @@ def sp_global_correlation_softmax_stereo(
     return fn(feature0, feature1)
 
 
+def sp_local_correlation_with_flow(
+    mesh: Mesh,
+    feature0: jnp.ndarray,
+    feature1: jnp.ndarray,
+    flow: jnp.ndarray,
+    local_radius: int,
+    axis: str = "sp",
+) -> jnp.ndarray:
+    """Sequence-parallel flow-shifted refine correlation: [B, H, W, (2R+1)^2].
+
+    The refine-loop window correlation (reference matching.py:86-123) is
+    query-separable: each output row depends on its own row of feature0/flow
+    but — because flow points anywhere — on *all* of feature1. So queries and
+    flow shard over H while feature1 replicates (7 MB at flagship scale vs the
+    ~0.6 GB/iteration gather, the same split as sp_attention_expectation).
+    Each device runs the single-chip unique-footprint gather on its row block;
+    no collectives beyond the output's implicit all-gather.
+    Same values as ops.correlation.local_correlation_with_flow.
+    """
+
+    def block(f0_blk, f1_full, flow_blk):
+        from unimatch_tpu.ops.correlation import local_correlation_with_flow
+
+        row_offset = jax.lax.axis_index(axis) * f0_blk.shape[1]
+        return local_correlation_with_flow(
+            f0_blk, f1_full, flow_blk, local_radius,
+            _sp_dispatch=False, _row_offset=row_offset,
+        )
+
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, None, None, None),
+                  P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+    )
+    return fn(feature0, feature1, flow)
+
+
 def sp_global_correlation_softmax(
     mesh: Mesh, feature0: jnp.ndarray, feature1: jnp.ndarray, axis: str = "sp"
 ) -> jnp.ndarray:
