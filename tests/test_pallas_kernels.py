@@ -172,3 +172,58 @@ def test_corr_volume_lookup_matches_reference(rng):
     want = _lookup_reference(g, sc, k, 0.125, jnp.float32)
     # interpret mode reorders the f32 blend slightly: tight but not bitwise
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_gru_pass_horizontal_matches_reference(rng):
+    from unimatch_tpu.kernels.gru_fused import gru_pass, _reference_gru_pass
+
+    b, h, w, hd, cx, K = 1, 19, 37, 128, 256, 5  # odd extents exercise padding
+    hst = jnp.asarray(rng.randn(b, h, w, hd).astype(np.float32))
+    x = jnp.asarray(rng.randn(b, h, w, cx).astype(np.float32))
+    kx = jnp.asarray(rng.randn(1, K, cx, 3 * hd).astype(np.float32) * 0.05)
+    khzr = jnp.asarray(rng.randn(1, K, hd, 2 * hd).astype(np.float32) * 0.05)
+    kqh = jnp.asarray(rng.randn(1, K, hd, hd).astype(np.float32) * 0.05)
+    bzrq = jnp.asarray(rng.randn(3, hd).astype(np.float32) * 0.1)
+
+    got = gru_pass(hst, x, kx, khzr, kqh, bzrq, horizontal=True, interpret=True)
+    want = _reference_gru_pass(hst, x, kx, khzr, kqh, bzrq, K, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_pass_vertical_matches_reference(rng):
+    from unimatch_tpu.kernels.gru_fused import gru_pass, _reference_gru_pass
+
+    b, h, w, hd, cx, K = 1, 19, 37, 128, 256, 5
+    hst = jnp.asarray(rng.randn(b, h, w, hd).astype(np.float32))
+    x = jnp.asarray(rng.randn(b, h, w, cx).astype(np.float32))
+    kx = jnp.asarray(rng.randn(K, 1, cx, 3 * hd).astype(np.float32) * 0.05)
+    khzr = jnp.asarray(rng.randn(K, 1, hd, 2 * hd).astype(np.float32) * 0.05)
+    kqh = jnp.asarray(rng.randn(K, 1, hd, hd).astype(np.float32) * 0.05)
+    bzrq = jnp.asarray(rng.randn(3, hd).astype(np.float32) * 0.1)
+
+    got = gru_pass(hst, x, kx, khzr, kqh, bzrq, horizontal=False, interpret=True)
+    want = _reference_gru_pass(hst, x, kx, khzr, kqh, bzrq, K, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_sepconv_gru_module_fused_dispatch(rng, monkeypatch):
+    """UNIMATCH_FUSE_GRU routes SepConvGRU through the kernel's reference
+    twin on CPU with byte-identical params; values match the unfused form."""
+    from unimatch_tpu.models.reg_refine import SepConvGRU
+
+    b, h, w = 1, 12, 18
+    hst = jnp.asarray(rng.randn(b, h, w, 128).astype(np.float32))
+    parts = [
+        jnp.asarray(rng.randn(b, h, w, 128).astype(np.float32)),
+        jnp.asarray(rng.randn(b, h, w, 126).astype(np.float32)),
+        jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32)),
+    ]
+    gru = SepConvGRU()
+    params = gru.init(jax.random.PRNGKey(0), hst, parts)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_GRU", "0")
+    want = gru.apply(params, hst, parts)
+    monkeypatch.setenv("UNIMATCH_FUSE_GRU", "1")
+    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
+    got = gru.apply(params, hst, parts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -25,10 +25,14 @@ from unimatch_tpu.models.layers import conv2d, instance_norm, conv_kaiming_init
 
 def _fused_in() -> bool:
     """Fused conv+IN(+relu) (f32-accumulator statistics, no bf16 round-trip
-    between conv and norm). UNIMATCH_FUSE_IN=0 re-traces the split form for
-    A/B measurement; numerics are identical in f32 and the fused form is the
-    more accurate one in bf16 (norm sees the un-rounded accumulator)."""
-    return os.environ.get("UNIMATCH_FUSE_IN", "1") != "0"
+    between conv and norm). Default OFF: the on-chip interleaved A/B
+    (round 3, docs/PERF_NOTES.md) measured the fused form ~9% slower for the
+    full backbone — handing the f32 accumulator to the norm doubles the
+    conv's output write traffic, which costs more than the saved bf16
+    round-trip. Numerics are identical in f32 either way; UNIMATCH_FUSE_IN=1
+    re-enables the fused form (slightly more accurate in bf16 since the norm
+    sees the un-rounded accumulator) for measurement."""
+    return os.environ.get("UNIMATCH_FUSE_IN", "0") != "0"
 
 
 def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,

@@ -38,11 +38,22 @@ from unimatch_tpu.models.layers import (
 
 def _fuse_conv() -> bool:
     """Dispatch the refine-path K>1 convolutions to the Pallas fused-conv
-    kernel (VMEM tap accumulator, each input read once per tile instead of
-    once per tap — kernels/conv_fused.py). The XLA shifted-matmul form moves
-    ~1 GB of HBM tap re-reads per refine iteration at the flagship shape;
-    UNIMATCH_FUSE_CONV toggles for A/B measurement."""
-    return os.environ.get("UNIMATCH_FUSE_CONV", "1") != "0"
+    kernel (VMEM tap accumulator — kernels/conv_fused.py). Default OFF: the
+    on-chip A/B (round 3, docs/PERF_NOTES.md) measured the kernel ~1.7x
+    slower than the XLA shifted-matmul form at the refine hot shape (its
+    halo-tile DMA is not double-buffered, so transfer serializes with
+    compute, while XLA keeps the tap partials fused in its own pipeline),
+    and the 7x7 2-channel motion-encoder shape fails Mosaic compilation.
+    UNIMATCH_FUSE_CONV=1 re-enables for measurement."""
+    return os.environ.get("UNIMATCH_FUSE_CONV", "0") != "0"
+
+
+def _fuse_gru() -> bool:
+    """Dispatch each SepConvGRU direction pass to the fused Pallas kernel
+    (kernels/gru_fused.py — convs + gates in one VMEM-resident pass with
+    automatic BlockSpec double-buffering; ~30 MB of HBM traffic per pass vs
+    ~2 GB for the XLA tap-partial form)."""
+    return os.environ.get("UNIMATCH_FUSE_GRU", "0") != "0"
 
 
 class FlowHead(nn.Module):
@@ -86,6 +97,18 @@ class SepConvGRU(nn.Module):
         # x-side: one conv over the virtual x concat, 3*hd outputs
         kx = jnp.concatenate([kz[:, :, hd:], kr[:, :, hd:], kq[:, :, hd:]], axis=-1)
         khzr = jnp.concatenate([kz[:, :, :hd], kr[:, :, :hd]], axis=-1)
+
+        if _fuse_gru():
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                from unimatch_tpu.kernels.gru_fused import gru_pass
+
+                x = x_parts[0] if len(x_parts) == 1 else jnp.concatenate(x_parts, -1)
+                return gru_pass(
+                    h, x, kx, khzr, kq[:, :, :hd, :], jnp.stack([bz, br, bq]),
+                    horizontal=ksize[0] == 1,
+                )
 
         fused = False
         if _fuse_conv():
