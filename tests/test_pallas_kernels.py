@@ -227,3 +227,54 @@ def test_sepconv_gru_module_fused_dispatch(rng, monkeypatch):
     monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
     got = gru.apply(params, hst, parts)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_banded_conv2d_matches_reference(rng):
+    from unimatch_tpu.kernels.conv_banded import banded_conv2d, _reference_conv
+
+    for kh, kw, cin, cout in [(3, 3, 64, 64), (1, 5, 32, 48), (7, 7, 16, 32), (5, 1, 32, 32)]:
+        x = jnp.asarray(rng.randn(1, 21, 27, cin).astype(np.float32))
+        k = jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+        got = banded_conv2d(x, k, b, act="relu", interpret=True)
+        want = _reference_conv(x, k, b, kh, kw, "relu")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
+            err_msg=f"k={kh}x{kw} c={cin}->{cout}",
+        )
+
+
+def test_conv2d_fuse_dispatch_matches_unfused(rng, monkeypatch):
+    """Conv2d(fuse=True) routes through the banded kernel's reference twin
+    on CPU; values match the conv_via_matmul form with identical params."""
+    from unimatch_tpu.models.layers import conv2d
+
+    x = jnp.asarray(rng.randn(1, 14, 22, 32).astype(np.float32))
+    mod = conv2d(48, 3, padding=1, act="relu", fuse=True, name="c")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)  # use_pallas() False on CPU -> XLA path
+    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_ffn_fuse_dispatch(rng, monkeypatch):
+    """UNIMATCH_FUSE_FFN routes the FFN tail through the kernel's reference
+    twin on CPU with an identical param tree; values match the XLA form."""
+    from unimatch_tpu.models.transformer import FeatureTransformer
+
+    f0 = jnp.asarray(rng.randn(1, 8, 16, 128).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(1, 8, 16, 128).astype(np.float32))
+    tr = FeatureTransformer(num_layers=2, d_model=128, ffn_dim_expansion=4)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_FFN", "0")
+    params = tr.init(jax.random.PRNGKey(0), f0, f1, attn_type="swin", attn_num_splits=2)
+    want0, want1 = tr.apply(params, f0, f1, attn_type="swin", attn_num_splits=2)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_FFN", "1")
+    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
+    params2 = tr.init(jax.random.PRNGKey(0), f0, f1, attn_type="swin", attn_num_splits=2)
+    assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(lambda a: a.shape, params2)
+    got0, got1 = tr.apply(params, f0, f1, attn_type="swin", attn_num_splits=2)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=1e-4, atol=1e-4)

@@ -35,6 +35,13 @@ def _fused_in() -> bool:
     return os.environ.get("UNIMATCH_FUSE_IN", "0") != "0"
 
 
+def _fuse_conv() -> bool:
+    """Dispatch stride-1 K>1 backbone convolutions to the banded fused conv
+    kernel (kernels/conv_banded.py); shares UNIMATCH_FUSE_CONV with the
+    refine path. Conv2d itself gates on stride/dilation/padding/cin."""
+    return os.environ.get("UNIMATCH_FUSE_CONV", "0") != "0"
+
+
 def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
              use_bias=False, act=None, name=None):
     """conv -> instance norm -> act, fused when enabled (dilation 1 only —
@@ -43,7 +50,7 @@ def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
         return conv2d(planes, kernel, stride=stride, padding=padding,
                       use_bias=use_bias, norm="instance", act=act, name=name)(x)
     y = conv2d(planes, kernel, stride=stride, padding=padding, dilation=dilation,
-               use_bias=use_bias, name=name)(x)
+               use_bias=use_bias, fuse=_fuse_conv(), name=name)(x)
     y = instance_norm(y)
     return jax.nn.relu(y) if act == "relu" else y
 

@@ -168,18 +168,24 @@ class Conv2d(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
 
         same_pad = self.padding == ((kh - 1) // 2, (kw - 1) // 2)
-        if self.fuse and self.norm is None and self.stride == (1, 1) and self.dilation == 1 and same_pad:
+        # Banded fused conv (kernels/conv_banded.py): stride-1 'same' K>1
+        # convs with the tap accumulator in VMEM; cin >= 8 (narrower inputs
+        # lane-pad pathologically and stay on the XLA form).
+        if (
+            self.fuse and self.norm is None and self.stride == (1, 1)
+            and self.dilation == 1 and same_pad and kh * kw > 1 and cin >= 8
+        ):
             from unimatch_tpu.kernels import use_pallas
 
             if use_pallas():
-                from unimatch_tpu.kernels.conv_fused import fused_conv2d
+                from unimatch_tpu.kernels.conv_banded import banded_conv2d
 
                 bias = (
                     self.param("bias", nn.initializers.zeros, (self.features,))
                     if self.use_bias
                     else None
                 )
-                return fused_conv2d([x], kernel.astype(x.dtype), bias, act=self.act)
+                return banded_conv2d(x, kernel.astype(x.dtype), bias, act=self.act)
 
         kernel = kernel.astype(x.dtype)
         # Fused conv+IN(+act): the matmul path hands back its raw f32
@@ -278,18 +284,21 @@ class Conv2dMulti(nn.Module):
         cins = [p.shape[-1] for p in parts]
         kernel = self.param("kernel", self.kernel_init, (kh, kw, sum(cins), self.features))
 
-        if self.fuse and self.padding == ((kh - 1) // 2, (kw - 1) // 2):
+        if self.fuse and self.padding == ((kh - 1) // 2, (kw - 1) // 2) and kh * kw > 1:
             from unimatch_tpu.kernels import use_pallas
 
             if use_pallas():
-                from unimatch_tpu.kernels.conv_fused import fused_conv2d
+                from unimatch_tpu.kernels.conv_banded import banded_conv2d
 
                 bias = (
                     self.param("bias", nn.initializers.zeros, (self.features,))
                     if self.use_bias
                     else None
                 )
-                return fused_conv2d(parts, kernel.astype(parts[0].dtype), bias, act=self.act)
+                # one cheap concat beats the per-part form here: the banded
+                # kernel reads the concat once, vs K xla tap partials per part
+                xcat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+                return banded_conv2d(xcat, kernel.astype(xcat.dtype), bias, act=self.act)
 
         kernel = kernel.astype(parts[0].dtype)
         acc = None

@@ -52,8 +52,11 @@ def _fuse_gru() -> bool:
     """Dispatch each SepConvGRU direction pass to the fused Pallas kernel
     (kernels/gru_fused.py — convs + gates in one VMEM-resident pass with
     automatic BlockSpec double-buffering; ~30 MB of HBM traffic per pass vs
-    ~2 GB for the XLA tap-partial form)."""
-    return os.environ.get("UNIMATCH_FUSE_GRU", "0") != "0"
+    ~2 GB for the XLA tap-partial form). On-chip interleaved A/B (round 3):
+    update block x6 23.75 vs 28.25 ms, full flagship forward 74.7 vs
+    80.2 ms — docs/PERF_NOTES.md. UNIMATCH_FUSE_GRU=0 re-traces the XLA
+    form for A/B."""
+    return os.environ.get("UNIMATCH_FUSE_GRU", "1") != "0"
 
 
 class FlowHead(nn.Module):

@@ -22,6 +22,7 @@ attn_type dispatch (reference transformer.py:62-135):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -35,6 +36,12 @@ from unimatch_tpu.ops import windows as W
 
 def _dense(features: int, name: str) -> nn.Dense:
     return nn.Dense(features, use_bias=False, kernel_init=xavier_uniform, name=name)
+
+
+def _fuse_ffn() -> bool:
+    """Dispatch the cross-attention FFN tail to the fused Pallas kernel
+    (kernels/ffn.py). UNIMATCH_FUSE_FFN=0 re-traces the XLA form for A/B."""
+    return os.environ.get("UNIMATCH_FUSE_FFN", "1") != "0"
 
 
 class TransformerLayer(nn.Module):
@@ -117,11 +124,27 @@ class TransformerLayer(nn.Module):
 
         if not self.no_ffn:
             hdim = 2 * c * self.ffn_dim_expansion
-            # NOTE: a fused Pallas FFN (dense-GELU-dense-LayerNorm-residual,
-            # kernels/ffn.py) measured 9x SLOWER than this XLA path on the
-            # target runtime despite eliminating the hidden-activation HBM
-            # round-trips — XLA's pipelined fusions win here. Kept as a
-            # tested kernel + negative result (docs/PERF_NOTES.md).
+            # Fused Pallas FFN (dense-GELU-dense-LayerNorm-residual,
+            # kernels/ffn.py): the [L, H] hidden activations never leave
+            # VMEM. Round 2 measured this "9x slower" — that number was the
+            # first-measurement warmup artifact the methodology fixes later
+            # identified; the round-3 interleaved A/B has it ~30% FASTER
+            # than the XLA path at the s1 shape (2.0 vs 2.9 ms,
+            # docs/PERF_NOTES.md). Param tree unchanged.
+            if _fuse_ffn():
+                from unimatch_tpu.kernels import use_pallas
+
+                if use_pallas():
+                    from unimatch_tpu.kernels.ffn import fused_ffn
+
+                    w0 = self.scope.push("mlp_0").param(
+                        "kernel", xavier_uniform, (2 * c, hdim))
+                    w2 = self.scope.push("mlp_2").param(
+                        "kernel", xavier_uniform, (hdim, c))
+                    norm_sc = self.scope.push("norm2")
+                    gamma = norm_sc.param("scale", nn.initializers.ones, (c,))
+                    beta = norm_sc.param("bias", nn.initializers.zeros, (c,))
+                    return fused_ffn(source, message, w0, w2, gamma, beta)
 
             # materialized concat + one [L, 2C] x [2C, H] dot: the virtual
             # (per-part) split writes the fat [L, H] accumulator once per
