@@ -33,6 +33,7 @@ uses the direct gather formulation anyway.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +136,11 @@ def build_volume(f0: jnp.ndarray, f1b: jnp.ndarray, out_dtype=jnp.bfloat16,
         return _build_volume_impl(f0, f1b, out_dtype=out_dtype, block_p=block_p,
                                   interpret=True)
     if jax.default_backend() == "cpu":
+        return _build_reference(f0, f1b, out_dtype)
+    # UNIMATCH_VOLUME_BUILD=xla uses the plain einsum (A/B lever: 9.3 vs
+    # 11.4 ms isolated this round, but the einsum form measured a bimodal
+    # ~85 ms in round 2 — the Pallas build's reliability wins the default)
+    if os.environ.get("UNIMATCH_VOLUME_BUILD", "pallas") == "xla":
         return _build_reference(f0, f1b, out_dtype)
     return _build_with_vjp(out_dtype, block_p)(f0, f1b)
 

@@ -37,9 +37,13 @@ def _fused_in() -> bool:
 
 def _fuse_conv() -> bool:
     """Dispatch stride-1 K>1 backbone convolutions to the banded fused conv
-    kernel (kernels/conv_banded.py); shares UNIMATCH_FUSE_CONV with the
-    refine path. Conv2d itself gates on stride/dilation/padding/cin."""
-    return os.environ.get("UNIMATCH_FUSE_CONV", "0") != "0"
+    kernel (kernels/conv_banded.py). Default OFF: the on-chip interleaved
+    A/B (round 3) measured the banded form 15.3 vs 10.5 ms for the full
+    backbone — at the big stage-1 maps the XLA form's fusion with the
+    surrounding IN/relu wins, unlike the refine path's 112x256 shapes where
+    the banded kernel wins (UNIMATCH_FUSE_CONV there). UNIMATCH_FUSE_BB_CONV=1
+    re-enables for measurement."""
+    return os.environ.get("UNIMATCH_FUSE_BB_CONV", "0") != "0"
 
 
 def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,

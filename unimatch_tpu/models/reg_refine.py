@@ -37,14 +37,18 @@ from unimatch_tpu.models.layers import (
 
 
 def _fuse_conv() -> bool:
-    """Dispatch the refine-path K>1 convolutions to the Pallas fused-conv
-    kernel (VMEM tap accumulator — kernels/conv_fused.py). Default OFF: the
-    on-chip A/B (round 3, docs/PERF_NOTES.md) measured the kernel ~1.7x
-    slower than the XLA shifted-matmul form at the refine hot shape (its
-    halo-tile DMA is not double-buffered, so transfer serializes with
-    compute, while XLA keeps the tap partials fused in its own pipeline),
-    and the 7x7 2-channel motion-encoder shape fails Mosaic compilation.
-    UNIMATCH_FUSE_CONV=1 re-enables for measurement."""
+    """Dispatch the refine-path K>1 convolutions (motion encoder, flow/mask
+    heads) to the banded fused conv kernel (kernels/conv_banded.py — the
+    BlockSpec-pipelined successor to the rejected manual-DMA conv_fused
+    kernel, whose halo-tile DMA serialized with compute and lost ~1.7x).
+    Default OFF — a genuinely two-sided result (round 3,
+    docs/PERF_NOTES.md): in the *isolated* update block x6 the banded
+    kernel wins 19.1 vs 23.8 ms (fused GRU in both arms), but in the *full
+    flagship forward* it ties-to-loses (70.9-72.1 vs 69.7-70.7 ms over 3
+    interleaved reps) — pallas_call is a fusion barrier, and in the full
+    graph XLA fuses these convs with the surrounding lookup/elementwise
+    ops. The 7x7 cin=2 convf1 is excluded by Conv2d's cin >= 8 gate either
+    way. UNIMATCH_FUSE_CONV=1 re-enables for measurement."""
     return os.environ.get("UNIMATCH_FUSE_CONV", "0") != "0"
 
 
@@ -164,9 +168,9 @@ class BasicMotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
         fuse = _fuse_conv()
-        # convf1 especially: a 7x7 conv on a 2-channel map reads ~64x its
-        # logical bytes per tap through the lane-padded XLA layout; the Pallas
-        # kernel DMAs the map once and unrolls the 49 taps from VMEM
+        # convf1 (7x7 on the 2-channel flow) is excluded by Conv2d's
+        # cin >= 8 gate: sub-lane-width inputs pad 2 -> 128 lanes in VMEM
+        # and the old fused kernel failed Mosaic compilation at that shape
         cor = conv2d(256, 1, act="relu", name="convc1")(corr)
         cor = conv2d(192, 3, padding=1, act="relu", fuse=fuse, name="convc2")(cor)
         flo = conv2d(128, 7, padding=3, act="relu", fuse=fuse, name="convf1")(flow)
