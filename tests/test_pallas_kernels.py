@@ -208,25 +208,29 @@ def test_gru_pass_vertical_matches_reference(rng):
 
 def test_sepconv_gru_module_fused_dispatch(rng, monkeypatch):
     """UNIMATCH_FUSE_GRU routes SepConvGRU through the kernel's reference
-    twin on CPU with byte-identical params; values match the unfused form."""
+    twin on CPU with byte-identical params; values match the unfused form.
+    bf16 inputs (the dispatch is gated to the serving dtype)."""
     from unimatch_tpu.models.reg_refine import SepConvGRU
 
     b, h, w = 1, 12, 18
-    hst = jnp.asarray(rng.randn(b, h, w, 128).astype(np.float32))
+    hst = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
     parts = [
-        jnp.asarray(rng.randn(b, h, w, 128).astype(np.float32)),
-        jnp.asarray(rng.randn(b, h, w, 126).astype(np.float32)),
-        jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32)),
+        jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16),
+        jnp.asarray(rng.randn(b, h, w, 126), jnp.bfloat16),
+        jnp.asarray(rng.randn(b, h, w, 2), jnp.bfloat16),
     ]
     gru = SepConvGRU()
     params = gru.init(jax.random.PRNGKey(0), hst, parts)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     monkeypatch.setenv("UNIMATCH_FUSE_GRU", "0")
-    want = gru.apply(params, hst, parts)
+    want = gru.apply(params, hst, parts).astype(jnp.float32)
     monkeypatch.setenv("UNIMATCH_FUSE_GRU", "1")
     monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
-    got = gru.apply(params, hst, parts)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    got = gru.apply(params, hst, parts).astype(jnp.float32)
+    # both arms are bf16 graphs built from differently-associated convs;
+    # the GRU output is bounded by |h| + |q| so absolute tolerance is safe
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.06)
 
 
 def test_banded_conv2d_matches_reference(rng):

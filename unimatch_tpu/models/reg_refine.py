@@ -105,7 +105,10 @@ class SepConvGRU(nn.Module):
         kx = jnp.concatenate([kz[:, :, hd:], kr[:, :, hd:], kq[:, :, hd:]], axis=-1)
         khzr = jnp.concatenate([kz[:, :, :hd], kr[:, :, :hd]], axis=-1)
 
-        if _fuse_gru():
+        # bf16 only: the kernel's VMEM working set (input bands + f32 tap
+        # partials) is sized for 2-byte activations; f32 runs keep the XLA
+        # form (the f32 path is parity/CI, not the serving path)
+        if _fuse_gru() and dt == jnp.bfloat16:
             from unimatch_tpu.kernels import use_pallas
 
             if use_pallas():
