@@ -282,3 +282,52 @@ def test_transformer_ffn_fuse_dispatch(rng, monkeypatch):
     got0, got1 = tr.apply(params, f0, f1, attn_type="swin", attn_num_splits=2)
     np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=1e-4, atol=1e-4)
+
+
+def test_motion_encoder_fused_matches_reference(rng):
+    from unimatch_tpu.kernels.motion_fused import motion_encoder_fused, _reference_motion
+
+    for fd in (2, 1):
+        b, h, w, ck = 1, 19, 26, 81
+        corr = jnp.asarray(rng.randn(b, h, w, ck).astype(np.float32))
+        flow = jnp.asarray((rng.randn(b, h, w, fd) * 3).astype(np.float32))
+        wc1 = jnp.asarray(rng.randn(1, 1, ck, 256).astype(np.float32) * 0.05)
+        wc2 = jnp.asarray(rng.randn(3, 3, 256, 192).astype(np.float32) * 0.05)
+        wf1 = jnp.asarray(rng.randn(7, 7, fd, 128).astype(np.float32) * 0.05)
+        wf2 = jnp.asarray(rng.randn(3, 3, 128, 64).astype(np.float32) * 0.05)
+        wm = jnp.asarray(rng.randn(3, 3, 256, 128 - fd).astype(np.float32) * 0.05)
+        biases = tuple(
+            jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
+            for n in (256, 128, 192, 64, 128 - fd)  # (bc1, bf1, bc2, bf2, bm)
+        )
+
+        got = motion_encoder_fused(corr, flow, wc1, wc2, wf1, wf2, wm, biases,
+                                   interpret=True)
+        want = _reference_motion(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"fd={fd}",
+        )
+
+
+def test_motion_encoder_module_fused_dispatch(rng, monkeypatch):
+    """UNIMATCH_FUSE_MOTION routes BasicMotionEncoder through the kernel's
+    reference twin on CPU with an identical param tree."""
+    from unimatch_tpu.models.reg_refine import BasicMotionEncoder
+
+    b, h, w = 1, 12, 18
+    flow = jnp.asarray(rng.randn(b, h, w, 2), jnp.bfloat16)
+    corr = jnp.asarray(rng.randn(b, h, w, 81), jnp.bfloat16)
+    enc = BasicMotionEncoder(flow_channels=2)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_MOTION", "0")
+    params = enc.init(jax.random.PRNGKey(0), flow, corr)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    want = enc.apply(params, flow, corr)[0].astype(jnp.float32)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_MOTION", "1")
+    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
+    params2 = enc.init(jax.random.PRNGKey(0), flow, corr)
+    assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(lambda a: a.shape, params2)
+    got = enc.apply(params, flow, corr)[0].astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)

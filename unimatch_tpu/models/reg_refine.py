@@ -165,11 +165,45 @@ class SepConvGRU(nn.Module):
         return self._fused_pass(h, x_parts, (self.kernel_size, 1), (p, 0), "2")
 
 
+def _fuse_motion() -> bool:
+    """Dispatch the whole motion-encoder conv chain to the fused Pallas
+    kernel (kernels/motion_fused.py — all four intermediates stay in VMEM;
+    the 7x7 flow conv folds into an XLA-side im2col)."""
+    return os.environ.get("UNIMATCH_FUSE_MOTION", "0") != "0"
+
+
 class BasicMotionEncoder(nn.Module):
     flow_channels: int = 2
 
+    def _fused(self, flow: jnp.ndarray, corr: jnp.ndarray):
+        """Fused-kernel path with the identical param tree."""
+        from unimatch_tpu.kernels.motion_fused import motion_encoder_fused
+
+        fd = self.flow_channels
+        ck = corr.shape[-1]
+        ws, bs = [], []
+        for name, shape in (
+            ("convc1", (1, 1, ck, 256)),
+            ("convf1", (7, 7, fd, 128)),
+            ("convc2", (3, 3, 256, 192)),
+            ("convf2", (3, 3, 128, 64)),
+            ("conv", (3, 3, 256, 128 - fd)),
+        ):
+            sc = self.scope.push(name)
+            ws.append(sc.param("kernel", conv_kaiming_init, shape))
+            bs.append(sc.param("bias", nn.initializers.zeros, (shape[-1],)))
+        wc1, wf1, wc2, wf2, wm = ws
+        out = motion_encoder_fused(corr, flow, wc1, wc2, wf1, wf2, wm, tuple(bs))
+        return [out, flow]
+
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+        if _fuse_motion() and corr.dtype == jnp.bfloat16:
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                return self._fused(flow, corr)
+
         fuse = _fuse_conv()
         # convf1 (7x7 on the 2-channel flow) is excluded by Conv2d's
         # cin >= 8 gate: sub-lane-width inputs pad 2 -> 128 lanes in VMEM
