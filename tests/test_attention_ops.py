@@ -94,3 +94,74 @@ def test_split_window_attention_1d(rng, with_shift):
         attn_mask=tmask if with_shift else None,
     )
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_shift", [False, True])
+@pytest.mark.parametrize("cross", [False, True])
+def test_swin_attention_packed_matches_split(rng, with_shift, cross):
+    """Packed/spatial swin attention == the [N, L, C] split form, self and
+    cross, shifted and unshifted (values identical up to f32 summation)."""
+    b, h, w, c, k = 2, 8, 16, 32, 2
+    q = rng.randn(b, h * w, c).astype(np.float32)
+    kk = rng.randn(b, h * w, c).astype(np.float32)
+    v = rng.randn(b, h * w, c).astype(np.float32)
+    mask = W.generate_shift_window_attn_mask(h, w, h // k, w // k, h // k // 2, w // k // 2)
+
+    ref = A.split_window_attention(
+        jnp.asarray(q), jnp.asarray(kk), jnp.asarray(v), k, with_shift, h, w,
+        attn_mask=mask if with_shift else None,
+    )
+    if cross:
+        packed = A.swin_attention_packed(
+            jnp.asarray(q), jnp.concatenate([jnp.asarray(kk), jnp.asarray(v)], -1),
+            k, with_shift, h, w, attn_mask=mask if with_shift else None,
+        )
+    else:
+        packed = A.swin_attention_packed(
+            jnp.concatenate([jnp.asarray(q), jnp.asarray(kk), jnp.asarray(v)], -1),
+            None, k, with_shift, h, w, attn_mask=mask if with_shift else None,
+        )
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_shift", [False, True])
+def test_swin_spatial_kernel_interpret_matches_reference(rng, with_shift):
+    """The Pallas spatial kernel (interpret mode) == its jnp twin."""
+    from unimatch_tpu.kernels.window_attention import (
+        _swin_spatial_impl, _swin_spatial_reference,
+    )
+
+    b, h, w, c, k = 1, 16, 16, 128, 2
+    qkv = jnp.asarray(rng.randn(b, h, w, 3 * c).astype(np.float32))
+    mask = (
+        W.generate_shift_window_attn_mask(h, w, h // k, w // k, h // k // 2, w // k // 2)
+        if with_shift else None
+    )
+    got = _swin_spatial_impl(qkv, None, mask, k, interpret=True)
+    ref = _swin_spatial_reference(qkv, None, mask, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    q = qkv[..., :c]
+    kv = qkv[..., c:]
+    got = _swin_spatial_impl(q, kv, mask, k, interpret=True)
+    ref = _swin_spatial_reference(q, kv, mask, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_swin_spatial_transformer_dispatch_matches(rng, monkeypatch):
+    """FeatureTransformer output identical with UNIMATCH_SWIN_SPATIAL on/off
+    (CPU: the packed path runs the jnp twin; same math, same rounding)."""
+    import jax
+    from unimatch_tpu.models.transformer import FeatureTransformer
+
+    model = FeatureTransformer(num_layers=2, d_model=32, ffn_dim_expansion=4)
+    f0 = jnp.asarray(rng.randn(1, 8, 16, 32).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(1, 8, 16, 32).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), f0, f1, attn_type="swin", attn_num_splits=2)
+
+    monkeypatch.setenv("UNIMATCH_SWIN_SPATIAL", "0")
+    a0, a1 = model.apply(params, f0, f1, attn_type="swin", attn_num_splits=2)
+    monkeypatch.setenv("UNIMATCH_SWIN_SPATIAL", "1")
+    b0, b1 = model.apply(params, f0, f1, attn_type="swin", attn_num_splits=2)
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(a0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(a1), rtol=1e-5, atol=1e-5)

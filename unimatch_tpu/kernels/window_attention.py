@@ -106,6 +106,223 @@ def _with_vjp(has_bias: bool):
     return f
 
 
+# ---------------------------------------------------------------------------
+# Spatial (relayout-free) Swin window attention.
+#
+# The [N, L, C] form above needs the caller to materialize split_feature
+# relayouts of q, k, v plus a k-transpose and a merge_splits — ~5 full HBM
+# round-trips of the token tensor per attention call. Here the window
+# decomposition is expressed directly in the BlockSpec index maps over the
+# NHWC tensor: grid (B, ns, ns), block (1, H/ns, W/ns, C_packed) — the
+# windows ARE blocks, so no relayout ever exists in HBM. q/k/v arrive packed
+# on the channel axis (the transformer's combined projection output,
+# transformer.py:61-80) and are lane-sliced in-kernel.
+# ---------------------------------------------------------------------------
+
+_SPATIAL_MAX_L = 512  # whole-window score tile must fit VMEM comfortably
+
+
+def _spatial_attn(q, k, v, bias, scale, out_dtype):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        s = s + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    z = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / z).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o.astype(out_dtype)
+
+
+def _spatial_self_kernel(x_ref, o_ref, *, scale: float, c: int):
+    wh, ww = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[0].reshape(wh * ww, 3 * c)
+    o = _spatial_attn(x[:, :c], x[:, c : 2 * c], x[:, 2 * c :], None, scale, o_ref.dtype)
+    o_ref[0] = o.reshape(wh, ww, c)
+
+
+def _spatial_self_bias_kernel(x_ref, b_ref, o_ref, *, scale: float, c: int):
+    wh, ww = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[0].reshape(wh * ww, 3 * c)
+    o = _spatial_attn(x[:, :c], x[:, c : 2 * c], x[:, 2 * c :], b_ref[0], scale, o_ref.dtype)
+    o_ref[0] = o.reshape(wh, ww, c)
+
+
+def _spatial_cross_kernel(q_ref, kv_ref, o_ref, *, scale: float, c: int):
+    wh, ww = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0].reshape(wh * ww, c)
+    kv = kv_ref[0].reshape(wh * ww, 2 * c)
+    o = _spatial_attn(q, kv[:, :c], kv[:, c:], None, scale, o_ref.dtype)
+    o_ref[0] = o.reshape(wh, ww, c)
+
+
+def _spatial_cross_bias_kernel(q_ref, kv_ref, b_ref, o_ref, *, scale: float, c: int):
+    wh, ww = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0].reshape(wh * ww, c)
+    kv = kv_ref[0].reshape(wh * ww, 2 * c)
+    o = _spatial_attn(q, kv[:, :c], kv[:, c:], b_ref[0], scale, o_ref.dtype)
+    o_ref[0] = o.reshape(wh, ww, c)
+
+
+@functools.partial(jax.jit, static_argnames=("num_splits", "interpret"))
+def _swin_spatial_impl(q_or_qkv, kv, bias, num_splits, interpret=False):
+    """q_or_qkv: [B, H, W, 3C] packed qkv (kv None) or [B, H, W, C] query
+    with kv [B, H, W, 2C]. bias: [ns*ns, L, L] f32 or None. -> [B, H, W, C]."""
+    b, h, w, cp = q_or_qkv.shape
+    ns = num_splits
+    wh, ww = h // ns, w // ns
+    l = wh * ww
+    c = cp // 3 if kv is None else cp
+    scale = 1.0 / (c**0.5)
+
+    grid = (b, ns, ns)
+    in_specs = [
+        pl.BlockSpec((1, wh, ww, cp), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM)
+    ]
+    operands = [q_or_qkv]
+    if kv is not None:
+        in_specs.append(
+            pl.BlockSpec((1, wh, ww, 2 * c), lambda i, j, k: (i, j, k, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(kv)
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, l, l), lambda i, j, k: (j * ns + k, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(bias.astype(jnp.float32))
+
+    kern = {
+        (False, False): _spatial_self_kernel,
+        (False, True): _spatial_self_bias_kernel,
+        (True, False): _spatial_cross_kernel,
+        (True, True): _spatial_cross_bias_kernel,
+    }[(kv is not None, bias is not None)]
+
+    return pl.pallas_call(
+        functools.partial(kern, scale=scale, c=c),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, wh, ww, c), lambda i, j, k: (i, j, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), q_or_qkv.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
+def _swin_spatial_reference(q_or_qkv, kv, bias, num_splits):
+    """jnp twin (same math/rounding as the kernel) via split/merge relayouts."""
+    from unimatch_tpu.ops import windows as W
+
+    b, h, w, cp = q_or_qkv.shape
+    ns = num_splits
+    if kv is None:
+        c = cp // 3
+        q, k, v = (q_or_qkv[..., :c], q_or_qkv[..., c : 2 * c], q_or_qkv[..., 2 * c :])
+    else:
+        c = cp
+        q, k, v = q_or_qkv, kv[..., :c], kv[..., c:]
+    lw = (h // ns) * (w // ns)
+    qs = W.split_feature(q, ns).reshape(b * ns * ns, lw, c)
+    ks = W.split_feature(k, ns).reshape(b * ns * ns, lw, c)
+    vs = W.split_feature(v, ns).reshape(b * ns * ns, lw, c)
+    out = _reference(qs, ks, vs, bias)
+    return W.merge_splits(out.reshape(b * ns * ns, h // ns, w // ns, c), ns)
+
+
+@functools.lru_cache(maxsize=None)
+def _swin_spatial_with_vjp(num_splits: int, has_kv: bool, has_bias: bool):
+    if has_kv and has_bias:
+
+        @jax.custom_vjp
+        def f(x, kv, bias):
+            return _swin_spatial_impl(x, kv, bias, num_splits)
+
+        def fwd(x, kv, bias):
+            return f(x, kv, bias), (x, kv, bias)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(
+                lambda a, b_, c_: _swin_spatial_reference(a, b_, c_, num_splits), *res)
+            return vjp(g)
+
+    elif has_kv:
+
+        @jax.custom_vjp
+        def f(x, kv):
+            return _swin_spatial_impl(x, kv, None, num_splits)
+
+        def fwd(x, kv):
+            return f(x, kv), (x, kv)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(
+                lambda a, b_: _swin_spatial_reference(a, b_, None, num_splits), *res)
+            return vjp(g)
+
+    elif has_bias:
+
+        @jax.custom_vjp
+        def f(x, bias):
+            return _swin_spatial_impl(x, None, bias, num_splits)
+
+        def fwd(x, bias):
+            return f(x, bias), (x, bias)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(
+                lambda a, c_: _swin_spatial_reference(a, None, c_, num_splits), *res)
+            return vjp(g)
+
+    else:
+
+        @jax.custom_vjp
+        def f(x):
+            return _swin_spatial_impl(x, None, None, num_splits)
+
+        def fwd(x):
+            return f(x), (x,)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(
+                lambda a: _swin_spatial_reference(a, None, None, num_splits), *res)
+            return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def swin_attention_spatial(q_or_qkv: jnp.ndarray, kv: jnp.ndarray | None,
+                           num_splits: int, bias: jnp.ndarray | None = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Relayout-free Swin window attention on NHWC tensors.
+
+    q_or_qkv: [B, H, W, 3C] packed qkv (self-attention, kv=None) or
+    [B, H, W, C] query with kv: [B, H, W, 2C] packed key/value (cross).
+    bias: optional [ns*ns, L, L] additive mask (L = (H/ns)*(W/ns)).
+    Shifted windows are the caller's job (roll in, roll out). Returns
+    [B, H, W, C]. Falls back to the jnp twin on CPU or when the window
+    token count exceeds the VMEM score budget.
+    """
+    b, h, w, cp = q_or_qkv.shape
+    ns = num_splits
+    l = (h // ns) * (w // ns)
+    if (h % ns) or (w % ns) or l > _SPATIAL_MAX_L or (
+        jax.default_backend() == "cpu" and not interpret
+    ):
+        return _swin_spatial_reference(q_or_qkv, kv, bias, ns)
+    if interpret:
+        return _swin_spatial_impl(q_or_qkv, kv, bias, ns, interpret=True)
+    f = _swin_spatial_with_vjp(ns, kv is not None, bias is not None)
+    args = [q_or_qkv] + ([kv] if kv is not None else []) + ([bias] if bias is not None else [])
+    return f(*args)
+
+
 def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      bias: jnp.ndarray | None = None,
                      interpret: bool = False) -> jnp.ndarray:

@@ -44,6 +44,15 @@ def _fuse_ffn() -> bool:
     return os.environ.get("UNIMATCH_FUSE_FFN", "1") != "0"
 
 
+def _swin_spatial() -> bool:
+    """Route swin-2D window attention through the relayout-free spatial
+    kernel (ops/attention_ops.py::swin_attention_packed): the window
+    split/merge happens in BlockSpec index maps instead of HBM relayouts,
+    and q/k/v stay packed on the channel axis end to end. Default OFF until
+    measured on chip (UNIMATCH_SWIN_SPATIAL=1 enables)."""
+    return os.environ.get("UNIMATCH_SWIN_SPATIAL", "0") != "0"
+
+
 class TransformerLayer(nn.Module):
     d_model: int = 128
     no_ffn: bool = False
@@ -71,12 +80,26 @@ class TransformerLayer(nn.Module):
         wk = self.scope.push("k_proj").param("kernel", xavier_uniform, (c, c))
         wv = self.scope.push("v_proj").param("kernel", xavier_uniform, (c, c))
         dt = source.dtype
+        # the spatial kernel consumes the channel-packed projections
+        # directly — slicing q/k/v out would materialize copies it avoids
+        swin_2d_here = attn_num_splits > 1 and (
+            attn_type == "swin"
+            or (is_self_attn and attn_type in ("self_swin2d_cross_1d",
+                                               "self_swin2d_cross_swin1d"))
+        )
+        # windows larger than the spatial kernel's VMEM score budget keep
+        # the split form (which streams q blocks flash-style)
+        use_spatial = (
+            swin_2d_here and _swin_spatial()
+            and (h // attn_num_splits) * (w // attn_num_splits) <= 512
+        )
         if is_self_attn:
             qkv = jnp.einsum(
                 "blc,cd->bld", source, jnp.concatenate([wq, wk, wv], axis=1).astype(dt),
                 preferred_element_type=jnp.float32,
             ).astype(dt)
-            query, key, value = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+            if not use_spatial:
+                query, key, value = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
         else:
             query = jnp.einsum("blc,cd->bld", source, wq.astype(dt),
                                preferred_element_type=jnp.float32).astype(dt)
@@ -84,9 +107,16 @@ class TransformerLayer(nn.Module):
                 "blc,cd->bld", target, jnp.concatenate([wk, wv], axis=1).astype(dt),
                 preferred_element_type=jnp.float32,
             ).astype(dt)
-            key, value = kv[..., :c], kv[..., c:]
+            if not use_spatial:
+                key, value = kv[..., :c], kv[..., c:]
 
-        if attn_type == "swin" and attn_num_splits > 1:
+        if use_spatial:
+            message = A.swin_attention_packed(
+                qkv if is_self_attn else query,
+                None if is_self_attn else kv,
+                attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d,
+            )
+        elif attn_type == "swin" and attn_num_splits > 1:
             message = A.split_window_attention(
                 query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d
             )

@@ -112,6 +112,48 @@ def split_window_attention(
     return out.reshape(b, l, c)
 
 
+def swin_attention_packed(
+    q_or_qkv: jnp.ndarray,
+    kv: Optional[jnp.ndarray],
+    num_splits: int,
+    with_shift: bool,
+    h: int,
+    w: int,
+    attn_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Swin shifted-window 2D attention on channel-packed projections —
+    relayout-free on TPU. Same values as split_window_attention; reference
+    attention.py:45-104.
+
+    q_or_qkv: [B, H*W, 3C] packed qkv (self-attention, kv=None) or
+    [B, H*W, C] query with kv: [B, H*W, 2C] packed key/value (cross). The
+    window split/merge runs inside the Pallas kernel's BlockSpec index maps
+    (kernels/window_attention.py::swin_attention_spatial), so the
+    split_feature/merge_splits HBM relayouts of the [N, L, C] form never
+    exist; for shifted windows a single roll of each packed input replaces
+    the three per-tensor rolls.
+    """
+    b, l, cp = q_or_qkv.shape
+    assert l == h * w
+    x = q_or_qkv.reshape(b, h, w, cp)
+    kv4 = kv.reshape(b, h, w, kv.shape[-1]) if kv is not None else None
+    if with_shift:
+        assert attn_mask is not None
+        sh, sw = (h // num_splits) // 2, (w // num_splits) // 2
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        if kv4 is not None:
+            kv4 = jnp.roll(kv4, shift=(-sh, -sw), axis=(1, 2))
+
+    from unimatch_tpu.kernels.window_attention import swin_attention_spatial
+
+    out = swin_attention_spatial(
+        x, kv4, num_splits, bias=attn_mask if with_shift else None
+    )
+    if with_shift:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out.reshape(b, l, out.shape[-1])
+
+
 def split_window_attention_1d(
     q: jnp.ndarray,
     k: jnp.ndarray,

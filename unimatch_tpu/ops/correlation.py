@@ -282,17 +282,24 @@ def local_correlation_with_flow(
 class TiledVolume:
     """Precomputed all-pairs correlation volume in a gather-friendly layout.
 
-    vt: [B, Ppad, nR, nG, T*T] where unit (R, G) holds the T x T block of
-    correlations against *zero-padded* feature1 rows [T*R, T*R+T) and cols
-    [T*G, T*G+T) — each unit is contiguous (T*T = 256 elements = 512 B in
-    bf16). Unit size is tuned to this TPU's measured gather cost curve:
-    256 B-1 KB gather rows run ~13x cheaper per row than 32 B rows, so a
-    window lookup is 4 unit-gathers per pixel rather than 100 scattered
+    vt: [B, Ppad, nUnits, T*T] in the COMPACT tiled layout: unit u < nrc*ngc
+    with u = rr*ngc + gg holds the T x T block of correlations against
+    feature1 rows [T*rr, T*rr+T) and cols [T*gg, T*gg+T) in *image*
+    coordinates (high-side zero fill to tile multiples); unit nrc*ngc is a
+    shared all-zero sentinel that every lookup outside the image remaps to,
+    so the zero ring the clamping math assumes (a tile-aligned pad of T on
+    every side) is never computed or stored — at the flagship bench shape
+    that ring was 31% of the volume's HBM write traffic. Units beyond the
+    sentinel (rounding nUnits up to a multiple of 8 for a wide build block)
+    are zero and never referenced. Each unit is contiguous (T*T = 256
+    elements = 512 B in bf16), tuned to this TPU's measured gather cost
+    curve: 256 B-1 KB gather rows run ~13x cheaper per row than 32 B rows,
+    so a window lookup is 4 unit-gathers per pixel rather than 100 scattered
     scalars (the failure mode of the flat RAFT-style volume). Ppad >= H*W
     (Pallas build pads the pixel axis; rows >= H*W are unused).
     """
 
-    def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad):
+    def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad, nrc, ngc):
         self.vt = vt
         self.h, self.w = h, w
         self.hp, self.wp = hp, wp
@@ -300,6 +307,7 @@ class TiledVolume:
         self.tile = tile
         self.scale = scale  # 1/sqrt(C)
         self.ppad = ppad
+        self.nrc, self.ngc = nrc, ngc  # core (image-covering) tile grid
 
 
 _VOL_TILE = 16
@@ -307,12 +315,11 @@ _VOL_TILE = 16
 
 def tiled_volume_fits(b: int, h: int, w: int, local_radius: int,
                       itemsize: int = 2, budget_bytes: int = int(2.6e9)) -> bool:
-    """Whether the tiled refine-lookup volume fits the memory budget."""
+    """Whether the compact tiled refine-lookup volume fits the memory budget."""
     t = _VOL_TILE
-    pad = 2 * local_radius + 4  # >= kk so OOB footprints park in zeros
-    hp = -(-(h + 2 * pad) // t) * t
-    wp = -(-(w + 2 * pad) // t) * t
-    return b * h * w * hp * wp * itemsize <= budget_bytes
+    n_units = (-(-h // t)) * (-(-w // t)) + 1  # core tiles + zero sentinel
+    n_units = -(-n_units // 8) * 8
+    return b * h * w * n_units * t * t * itemsize <= budget_bytes
 
 
 def build_tiled_correlation_volume(
@@ -338,22 +345,34 @@ def build_tiled_correlation_volume(
     t = _VOL_TILE
     kk = 2 * local_radius + 2
     assert kk <= t, "window must fit a 2x2 unit span"
-    pad = kk + 2  # footprint start clamp range parks fully-OOB windows in zeros
+    # Tile-aligned zero ring: pad = T (>= kk, so the footprint-start clamps
+    # park fully-OOB windows in zeros) makes every ring tile PURE zero, so
+    # only the core (image-covering) tiles are built and stored; ring
+    # lookups remap to a single shared zero sentinel unit. At the flagship
+    # bench shape this removes 31% of the build's HBM write traffic
+    # (162 -> 113 units per pixel).
+    pad = t
     hp = -(-(h + 2 * pad) // t) * t
     wp = -(-(w + 2 * pad) // t) * t
+    nrc, ngc = -(-h // t), -(-w // t)
+    n_units = nrc * ngc + 1  # + zero sentinel
+    n_units = -(-n_units // 8) * 8  # wide M block for the build kernel
 
-    f1p = jnp.pad(feature1, ((0, 0), (pad, hp - h - pad), (pad, wp - w - pad), (0, 0)))
-    nr, ng = hp // t, wp // t
-    # [B, nR, T, nG, T, C] -> [B, nR, nG, T, T, C] -> [B, nR*nG*T*T, C]
-    f1b = f1p.reshape(b, nr, t, ng, t, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, nr * ng * t * t, c)
+    f1c = jnp.pad(feature1, ((0, 0), (0, nrc * t - h), (0, ngc * t - w), (0, 0)))
+    # [B, nrc, T, ngc, T, C] -> [B, nrc, ngc, T, T, C] -> [B, units*T*T, C]
+    f1b = f1c.reshape(b, nrc, t, ngc, t, c).transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, nrc * ngc * t * t, c
+    )
+    # sentinel + rounding units: zero feature rows -> zero correlations
+    f1b = jnp.pad(f1b, ((0, 0), (0, (n_units - nrc * ngc) * t * t), (0, 0)))
 
     f0 = feature0.reshape(b, h * w, c)
     from unimatch_tpu.kernels.corr_volume import build_volume
 
     vt = build_volume(f0, f1b, out_dtype=feature0.dtype)  # [B, Ppad, M]
     ppad = vt.shape[1]
-    vt = vt.reshape(b, ppad, nr, ng, t * t)
-    return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5), ppad)
+    vt = vt.reshape(b, ppad, n_units, t * t)
+    return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5), ppad, nrc, ngc)
 
 
 def local_correlation_with_flow_from_tiled_volume(
@@ -374,7 +393,9 @@ def local_correlation_with_flow_from_tiled_volume(
     r = local_radius
     k = 2 * r + 1
     kk = k + 1
-    nr, ng = hp // t, wp // t
+    nrc, ngc = vol.nrc, vol.ngc
+    n_units = vol.vt.shape[2]
+    sentinel = nrc * ngc  # the shared all-zero unit
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -383,7 +404,8 @@ def local_correlation_with_flow_from_tiled_volume(
     bx = jnp.floor(fx)
     by = jnp.floor(fy)
 
-    # identical clamping to the direct path (zero-padded image coordinates)
+    # identical clamping to the direct path (zero-padded image coordinates,
+    # pad-wide tile-aligned ring on every side)
     iy0 = jnp.clip(by - r + pad, 0, hp - kk).astype(jnp.int32)
     ix0 = jnp.clip(bx - r + pad, 0, wp - kk).astype(jnp.int32)
     r0 = iy0 // t
@@ -393,19 +415,20 @@ def local_correlation_with_flow_from_tiled_volume(
 
     # gather the 2x2 units covering rem + kk along each axis, in the
     # left-column-major order the lookup kernel's lane layout expects:
-    # (top-left, bottom-left, top-right, bottom-right)
-    flat = vol.vt.reshape(b * vol.ppad * nr * ng, t * t)
+    # (top-left, bottom-left, top-right, bottom-right). Unit coords are in
+    # the padded grid; subtracting the one-tile ring maps to the compact
+    # core grid, and anything outside it reads the zero sentinel.
+    flat = vol.vt.reshape(b * vol.ppad * n_units, t * t)
     iu = jnp.arange(2, dtype=jnp.int32)
-    base = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0) * (vol.ppad * nr * ng) + (
+    base = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0) * (vol.ppad * n_units) + (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w
         + jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    ) * (nr * ng)
-    idx = (
-        base[None, None]
-        + (r0[None, None] + iu[None, :, None, None, None]) * ng
-        + g0[None, None]
-        + iu[:, None, None, None, None]
-    )  # [2 (x-unit), 2 (y-unit), B, H, W]
+    ) * n_units
+    ru = r0[None, None] + iu[None, :, None, None, None] - 1  # [1, 2, B, H, W]
+    gu = g0[None, None] + iu[:, None, None, None, None] - 1  # [2, 1, B, H, W]
+    in_core = (ru >= 0) & (ru < nrc) & (gu >= 0) & (gu < ngc)
+    unit = jnp.where(in_core, ru * ngc + gu, sentinel)  # [2, 2, B, H, W]
+    idx = base[None, None] + unit  # [2 (x-unit), 2 (y-unit), B, H, W]
     g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b * h * w, t * t)
 
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
