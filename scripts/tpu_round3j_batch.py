@@ -156,24 +156,39 @@ def stage_forward_ab():
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
     )
 
-    def fa(p, a, b):
-        return model.apply(p, a, b, infer=infer)["flow_preds"][-1]
+    def mkf(tag):
+        def fwd(p, a, b):
+            return model.apply(p, a, b, infer=infer)["flow_preds"][-1]
 
-    def fb(p, a, b):
-        return model.apply(p, a, b, infer=infer)["flow_preds"][-1]
+        fwd.__name__ += tag
+        return fwd
 
+    # three arms: XLA refine convs, fused motion encoder, fused motion +
+    # banded flow/mask-head convs (a NEW in-situ configuration: round 3's
+    # banded-conv tie also covered the motion encoder; with the motion chain
+    # in its own kernel the banded kernel now covers only the heads, where
+    # it won isolated)
+    fa, fb, fc = mkf("_motion"), mkf("_xla"), mkf("_motion_conv")
     res = {}
     for rep in range(3):
         os.environ["UNIMATCH_FUSE_MOTION"] = "1"
+        os.environ["UNIMATCH_FUSE_CONV"] = "0"
         res.setdefault("motion_ms", []).append(round(time_chained(
             fa, params, img0, img1, n=12,
             min_warmup_s=8 if rep == 0 else 0) * 1e3, 1))
         os.environ["UNIMATCH_FUSE_MOTION"] = "0"
         res.setdefault("xla_ms", []).append(round(time_chained(
             fb, params, img0, img1, n=12, warmup=1) * 1e3, 1))
+        os.environ["UNIMATCH_FUSE_MOTION"] = "1"
+        os.environ["UNIMATCH_FUSE_CONV"] = "1"
+        res.setdefault("motion_conv_ms", []).append(round(time_chained(
+            fc, params, img0, img1, n=12, warmup=1) * 1e3, 1))
+    os.environ["UNIMATCH_FUSE_MOTION"] = "0"
+    os.environ["UNIMATCH_FUSE_CONV"] = "0"
     emit(part="forward_motion_ab", **res,
          motion_best_pairs_per_sec=round(1000.0 / min(res["motion_ms"]), 2),
-         xla_best_pairs_per_sec=round(1000.0 / min(res["xla_ms"]), 2))
+         xla_best_pairs_per_sec=round(1000.0 / min(res["xla_ms"]), 2),
+         motion_conv_best_pairs_per_sec=round(1000.0 / min(res["motion_conv_ms"]), 2))
 
 
 def stage_swin_spatial():
@@ -216,6 +231,20 @@ def stage_swin_spatial():
         res.setdefault("split_ms", []).append(round(time_chained(
             fb, params, f0, f1, n=12, warmup=2) * 1e3, 2))
     emit(part="swin_spatial_transformer_ab", **res)
+
+    # s0-shaped parity: window L = 1792 exercises the row-sub-blocked kernels
+    g0, g1 = bf(1, 56, 128, 128), bf(1, 56, 128, 128)
+    p0 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(1), g0, g1, attn_type="swin", attn_num_splits=2),
+    )
+    os.environ["UNIMATCH_SWIN_SPATIAL"] = "1"
+    sa, _ = jax.jit(lambda: model.apply(p0, g0, g1, attn_type="swin", attn_num_splits=2))()
+    os.environ["UNIMATCH_SWIN_SPATIAL"] = "0"
+    sb, _ = jax.jit(lambda: model.apply(p0, g0, g1, attn_type="swin", attn_num_splits=2))()
+    emit(part="swin_spatial_blocked_parity",
+         max_abs_diff=float(jnp.abs(sa.astype(jnp.float32) - sb.astype(jnp.float32)).max()),
+         ref_absmax=float(jnp.abs(sb.astype(jnp.float32)).max()))
 
     # full flagship forward A/B
     from unimatch_tpu import config as cfgs

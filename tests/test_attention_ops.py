@@ -165,3 +165,38 @@ def test_swin_spatial_transformer_dispatch_matches(rng, monkeypatch):
     b0, b1 = model.apply(params, f0, f1, attn_type="swin", attn_num_splits=2)
     np.testing.assert_allclose(np.asarray(b0), np.asarray(a0), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(a1), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cross", [False, True])
+def test_swin_spatial_blocked_interpret_matches_reference(rng, cross):
+    """Large-window (row-sub-blocked) spatial kernel == jnp twin."""
+    from unimatch_tpu.kernels.window_attention import (
+        _swin_spatial_impl, _swin_spatial_reference,
+    )
+
+    b, h, w, c, k = 1, 16, 64, 128, 1  # window L = 1024 > 512 -> blocked path
+    qkv = jnp.asarray(rng.randn(b, h, w, 3 * c).astype(np.float32) * 0.2)
+    if cross:
+        q, kv = qkv[..., :c], qkv[..., c:]
+        got = _swin_spatial_impl(q, kv, None, k, interpret=True)
+        ref = _swin_spatial_reference(q, kv, None, k)
+    else:
+        got = _swin_spatial_impl(qkv, None, None, k, interpret=True)
+        ref = _swin_spatial_reference(qkv, None, None, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_swin_spatial_blocked_bias_interpret_matches_reference(rng):
+    """Row-sub-blocked spatial kernel with additive mask == jnp twin."""
+    from unimatch_tpu.kernels.window_attention import (
+        _swin_spatial_impl, _swin_spatial_reference,
+    )
+
+    b, h, w, c, k = 1, 32, 32, 128, 2  # window 16x16 -> L = 256... use k=1
+    k = 1
+    l = h * w  # 1024 > 512 -> blocked path
+    qkv = jnp.asarray(rng.randn(b, h, w, 3 * c).astype(np.float32) * 0.2)
+    bias = jnp.asarray((rng.rand(k * k, l, l) > 0.5).astype(np.float32) * -100.0)
+    got = _swin_spatial_impl(qkv, None, bias, k, interpret=True)
+    ref = _swin_spatial_reference(qkv, None, bias, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

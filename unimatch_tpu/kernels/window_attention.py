@@ -168,6 +168,58 @@ def _spatial_cross_bias_kernel(q_ref, kv_ref, b_ref, o_ref, *, scale: float, c: 
     o_ref[0] = o.reshape(wh, ww, c)
 
 
+# large-window variants: q is sub-blocked by window rows (grid adds a 4th
+# dim) while k/v stay whole-window, so the [Lq, L] score tile stays inside
+# the VMEM budget. For self-attention the packed qkv tensor is passed twice
+# (q rows + whole window); the kv block's index map is constant in the
+# q-block dim, so Mosaic's pipeline fetches it once per window.
+
+
+def _spatial_self_blocked_kernel(x_ref, w_ref, o_ref, *, scale: float, c: int):
+    bh, ww = x_ref.shape[1], x_ref.shape[2]
+    wh = w_ref.shape[1]
+    q = x_ref[0].reshape(bh * ww, 3 * c)[:, :c]
+    kv = w_ref[0].reshape(wh * ww, 3 * c)
+    o = _spatial_attn(q, kv[:, c : 2 * c], kv[:, 2 * c :], None, scale, o_ref.dtype)
+    o_ref[0] = o.reshape(bh, ww, c)
+
+
+def _spatial_self_blocked_bias_kernel(x_ref, w_ref, b_ref, o_ref, *, scale: float, c: int):
+    bh, ww = x_ref.shape[1], x_ref.shape[2]
+    wh = w_ref.shape[1]
+    q = x_ref[0].reshape(bh * ww, 3 * c)[:, :c]
+    kv = w_ref[0].reshape(wh * ww, 3 * c)
+    o = _spatial_attn(q, kv[:, c : 2 * c], kv[:, 2 * c :], b_ref[0], scale, o_ref.dtype)
+    o_ref[0] = o.reshape(bh, ww, c)
+
+
+def _spatial_cross_blocked_kernel(q_ref, kv_ref, o_ref, *, scale: float, c: int):
+    bh, ww = q_ref.shape[1], q_ref.shape[2]
+    wh = kv_ref.shape[1]
+    q = q_ref[0].reshape(bh * ww, c)
+    kv = kv_ref[0].reshape(wh * ww, 2 * c)
+    o = _spatial_attn(q, kv[:, :c], kv[:, c:], None, scale, o_ref.dtype)
+    o_ref[0] = o.reshape(bh, ww, c)
+
+
+def _spatial_cross_blocked_bias_kernel(q_ref, kv_ref, b_ref, o_ref, *, scale: float, c: int):
+    bh, ww = q_ref.shape[1], q_ref.shape[2]
+    wh = kv_ref.shape[1]
+    q = q_ref[0].reshape(bh * ww, c)
+    kv = kv_ref[0].reshape(wh * ww, 2 * c)
+    o = _spatial_attn(q, kv[:, :c], kv[:, c:], b_ref[0], scale, o_ref.dtype)
+    o_ref[0] = o.reshape(bh, ww, c)
+
+
+def _pick_row_block(wh: int, ww: int, max_l: int) -> int:
+    """Largest divisor bh of wh with bh*ww <= max_l (1 worst-case)."""
+    best = 1
+    for bh in range(1, wh + 1):
+        if wh % bh == 0 and bh * ww <= max_l:
+            best = bh
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("num_splits", "interpret"))
 def _swin_spatial_impl(q_or_qkv, kv, bias, num_splits, interpret=False):
     """q_or_qkv: [B, H, W, 3C] packed qkv (kv None) or [B, H, W, C] query
@@ -179,37 +231,72 @@ def _swin_spatial_impl(q_or_qkv, kv, bias, num_splits, interpret=False):
     c = cp // 3 if kv is None else cp
     scale = 1.0 / (c**0.5)
 
-    grid = (b, ns, ns)
-    in_specs = [
-        pl.BlockSpec((1, wh, ww, cp), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM)
-    ]
-    operands = [q_or_qkv]
-    if kv is not None:
-        in_specs.append(
-            pl.BlockSpec((1, wh, ww, 2 * c), lambda i, j, k: (i, j, k, 0),
+    if l <= _SPATIAL_MAX_L:
+        grid = (b, ns, ns)
+        in_specs = [
+            pl.BlockSpec((1, wh, ww, cp), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM)
-        )
-        operands.append(kv)
-    if bias is not None:
-        in_specs.append(
-            pl.BlockSpec((1, l, l), lambda i, j, k: (j * ns + k, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        operands.append(bias.astype(jnp.float32))
+        ]
+        operands = [q_or_qkv]
+        if kv is not None:
+            in_specs.append(
+                pl.BlockSpec((1, wh, ww, 2 * c), lambda i, j, k: (i, j, k, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(kv)
+        if bias is not None:
+            in_specs.append(
+                pl.BlockSpec((1, l, l), lambda i, j, k: (j * ns + k, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(bias.astype(jnp.float32))
 
-    kern = {
-        (False, False): _spatial_self_kernel,
-        (False, True): _spatial_self_bias_kernel,
-        (True, False): _spatial_cross_kernel,
-        (True, True): _spatial_cross_bias_kernel,
-    }[(kv is not None, bias is not None)]
+        kern = {
+            (False, False): _spatial_self_kernel,
+            (False, True): _spatial_self_bias_kernel,
+            (True, False): _spatial_cross_kernel,
+            (True, True): _spatial_cross_bias_kernel,
+        }[(kv is not None, bias is not None)]
+        out_spec = pl.BlockSpec((1, wh, ww, c), lambda i, j, k: (i, j, k, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        bh = _pick_row_block(wh, ww, _SPATIAL_MAX_L)
+        nqb = wh // bh
+        grid = (b, ns, ns, nqb)
+        in_specs = [
+            pl.BlockSpec((1, bh, ww, cp),
+                         lambda i, j, k, q: (i, j * nqb + q, k, 0),
+                         memory_space=pltpu.VMEM),
+            # whole-window k/v: for self-attention this is the SAME packed
+            # operand passed a second time with a window-sized block
+            pl.BlockSpec((1, wh, ww, cp if kv is None else 2 * c),
+                         lambda i, j, k, q: (i, j, k, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [q_or_qkv, q_or_qkv if kv is None else kv]
+        if bias is not None:
+            in_specs.append(
+                pl.BlockSpec((1, bh * ww, l),
+                             lambda i, j, k, q: (j * ns + k, q, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(bias.astype(jnp.float32))
+
+        kern = {
+            (False, False): _spatial_self_blocked_kernel,
+            (False, True): _spatial_self_blocked_bias_kernel,
+            (True, False): _spatial_cross_blocked_kernel,
+            (True, True): _spatial_cross_blocked_bias_kernel,
+        }[(kv is not None, bias is not None)]
+        out_spec = pl.BlockSpec((1, bh, ww, c),
+                                lambda i, j, k, q: (i, j * nqb + q, k, 0),
+                                memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         functools.partial(kern, scale=scale, c=c),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wh, ww, c), lambda i, j, k: (i, j, k, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), q_or_qkv.dtype),
         interpret=interpret,
     )(*operands)
@@ -297,6 +384,18 @@ def _swin_spatial_with_vjp(num_splits: int, has_kv: bool, has_bias: bool):
     return f
 
 
+def swin_spatial_supported(h: int, w: int, packed_c: int, num_splits: int,
+                           dtype) -> bool:
+    """Whether the spatial kernel's VMEM budget covers this window shape:
+    whole-window k/v block + a <=512-row score tile must fit."""
+    ns = num_splits
+    if (h % ns) or (w % ns):
+        return False
+    l = (h // ns) * (w // ns)
+    kv_bytes = l * packed_c * jnp.dtype(dtype).itemsize
+    return l <= 4096 and kv_bytes <= 6 * 1024 * 1024
+
+
 def swin_attention_spatial(q_or_qkv: jnp.ndarray, kv: jnp.ndarray | None,
                            num_splits: int, bias: jnp.ndarray | None = None,
                            interpret: bool = False) -> jnp.ndarray:
@@ -311,8 +410,8 @@ def swin_attention_spatial(q_or_qkv: jnp.ndarray, kv: jnp.ndarray | None,
     """
     b, h, w, cp = q_or_qkv.shape
     ns = num_splits
-    l = (h // ns) * (w // ns)
-    if (h % ns) or (w % ns) or l > _SPATIAL_MAX_L or (
+    packed = cp if kv is None else kv.shape[-1]  # the whole-window operand
+    if not swin_spatial_supported(h, w, packed, ns, q_or_qkv.dtype) or (
         jax.default_backend() == "cpu" and not interpret
     ):
         return _swin_spatial_reference(q_or_qkv, kv, bias, ns)

@@ -87,12 +87,15 @@ class TransformerLayer(nn.Module):
             or (is_self_attn and attn_type in ("self_swin2d_cross_1d",
                                                "self_swin2d_cross_swin1d"))
         )
-        # windows larger than the spatial kernel's VMEM score budget keep
-        # the split form (which streams q blocks flash-style)
-        use_spatial = (
-            swin_2d_here and _swin_spatial()
-            and (h // attn_num_splits) * (w // attn_num_splits) <= 512
-        )
+        # windows beyond the spatial kernel's VMEM budget (whole-window k/v
+        # + score tile) keep the split form, which streams q flash-style
+        use_spatial = False
+        if swin_2d_here and _swin_spatial():
+            from unimatch_tpu.kernels.window_attention import swin_spatial_supported
+
+            use_spatial = swin_spatial_supported(
+                h, w, 3 * c if is_self_attn else 2 * c, attn_num_splits, dt
+            )
         if is_self_attn:
             qkv = jnp.einsum(
                 "blc,cd->bld", source, jnp.concatenate([wq, wk, wv], axis=1).astype(dt),
