@@ -137,14 +137,14 @@ def test_swin_spatial_kernel_interpret_matches_reference(rng, with_shift):
         W.generate_shift_window_attn_mask(h, w, h // k, w // k, h // k // 2, w // k // 2)
         if with_shift else None
     )
-    got = _swin_spatial_impl(qkv, None, mask, k, interpret=True)
-    ref = _swin_spatial_reference(qkv, None, mask, k)
+    got = _swin_spatial_impl(qkv, None, mask, None, None, None, None, k, interpret=True)
+    ref = _swin_spatial_reference(qkv, None, mask, None, None, None, None, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
     q = qkv[..., :c]
     kv = qkv[..., c:]
-    got = _swin_spatial_impl(q, kv, mask, k, interpret=True)
-    ref = _swin_spatial_reference(q, kv, mask, k)
+    got = _swin_spatial_impl(q, kv, mask, None, None, None, None, k, interpret=True)
+    ref = _swin_spatial_reference(q, kv, mask, None, None, None, None, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
@@ -178,11 +178,11 @@ def test_swin_spatial_blocked_interpret_matches_reference(rng, cross):
     qkv = jnp.asarray(rng.randn(b, h, w, 3 * c).astype(np.float32) * 0.2)
     if cross:
         q, kv = qkv[..., :c], qkv[..., c:]
-        got = _swin_spatial_impl(q, kv, None, k, interpret=True)
-        ref = _swin_spatial_reference(q, kv, None, k)
+        got = _swin_spatial_impl(q, kv, None, None, None, None, None, k, interpret=True)
+        ref = _swin_spatial_reference(q, kv, None, None, None, None, None, k)
     else:
-        got = _swin_spatial_impl(qkv, None, None, k, interpret=True)
-        ref = _swin_spatial_reference(qkv, None, None, k)
+        got = _swin_spatial_impl(qkv, None, None, None, None, None, None, k, interpret=True)
+        ref = _swin_spatial_reference(qkv, None, None, None, None, None, None, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
@@ -197,6 +197,24 @@ def test_swin_spatial_blocked_bias_interpret_matches_reference(rng):
     l = h * w  # 1024 > 512 -> blocked path
     qkv = jnp.asarray(rng.randn(b, h, w, 3 * c).astype(np.float32) * 0.2)
     bias = jnp.asarray((rng.rand(k * k, l, l) > 0.5).astype(np.float32) * -100.0)
-    got = _swin_spatial_impl(qkv, None, bias, k, interpret=True)
-    ref = _swin_spatial_reference(qkv, None, bias, k)
+    got = _swin_spatial_impl(qkv, None, bias, None, None, None, None, k, interpret=True)
+    ref = _swin_spatial_reference(qkv, None, bias, None, None, None, None, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_src", [False, True])
+def test_swin_spatial_epilogue_interpret_matches_reference(rng, with_src):
+    """Fused merge+LayerNorm(+residual) epilogue == jnp twin (interpret)."""
+    from unimatch_tpu.kernels.window_attention import (
+        _swin_spatial_impl, _swin_spatial_reference,
+    )
+
+    b, h, w, c, k = 1, 16, 16, 128, 2
+    qkv = jnp.asarray(rng.randn(b, h, w, 3 * c).astype(np.float32) * 0.3)
+    mw = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    src = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)) if with_src else None
+    got = _swin_spatial_impl(qkv, None, None, mw, gamma, beta, src, k, interpret=True)
+    ref = _swin_spatial_reference(qkv, None, None, mw, gamma, beta, src, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)

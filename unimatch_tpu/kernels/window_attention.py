@@ -138,76 +138,45 @@ def _spatial_attn(q, k, v, bias, scale, out_dtype):
     return o.astype(out_dtype)
 
 
-def _spatial_self_kernel(x_ref, o_ref, *, scale: float, c: int):
-    wh, ww = x_ref.shape[1], x_ref.shape[2]
-    x = x_ref[0].reshape(wh * ww, 3 * c)
-    o = _spatial_attn(x[:, :c], x[:, c : 2 * c], x[:, 2 * c :], None, scale, o_ref.dtype)
-    o_ref[0] = o.reshape(wh, ww, c)
-
-
-def _spatial_self_bias_kernel(x_ref, b_ref, o_ref, *, scale: float, c: int):
-    wh, ww = x_ref.shape[1], x_ref.shape[2]
-    x = x_ref[0].reshape(wh * ww, 3 * c)
-    o = _spatial_attn(x[:, :c], x[:, c : 2 * c], x[:, 2 * c :], b_ref[0], scale, o_ref.dtype)
-    o_ref[0] = o.reshape(wh, ww, c)
-
-
-def _spatial_cross_kernel(q_ref, kv_ref, o_ref, *, scale: float, c: int):
-    wh, ww = q_ref.shape[1], q_ref.shape[2]
-    q = q_ref[0].reshape(wh * ww, c)
-    kv = kv_ref[0].reshape(wh * ww, 2 * c)
-    o = _spatial_attn(q, kv[:, :c], kv[:, c:], None, scale, o_ref.dtype)
-    o_ref[0] = o.reshape(wh, ww, c)
-
-
-def _spatial_cross_bias_kernel(q_ref, kv_ref, b_ref, o_ref, *, scale: float, c: int):
-    wh, ww = q_ref.shape[1], q_ref.shape[2]
-    q = q_ref[0].reshape(wh * ww, c)
-    kv = kv_ref[0].reshape(wh * ww, 2 * c)
-    o = _spatial_attn(q, kv[:, :c], kv[:, c:], b_ref[0], scale, o_ref.dtype)
-    o_ref[0] = o.reshape(wh, ww, c)
-
-
-# large-window variants: q is sub-blocked by window rows (grid adds a 4th
-# dim) while k/v stay whole-window, so the [Lq, L] score tile stays inside
-# the VMEM budget. For self-attention the packed qkv tensor is passed twice
-# (q rows + whole window); the kv block's index map is constant in the
-# q-block dim, so Mosaic's pipeline fetches it once per window.
-
-
-def _spatial_self_blocked_kernel(x_ref, w_ref, o_ref, *, scale: float, c: int):
+def _spatial_flex_kernel(*refs, scale, c, is_cross, blocked, has_bias,
+                         has_epi, has_src, eps=1e-5):
+    """One kernel body for every spatial variant. Ref order:
+    x (q rows; packed qkv when self) [, kv whole-window] [, bias]
+    [, merge_w, gamma, beta] [, src], out."""
+    o_ref = refs[-1]
+    it = iter(refs[:-1])
+    x_ref = next(it)
     bh, ww = x_ref.shape[1], x_ref.shape[2]
-    wh = w_ref.shape[1]
-    q = x_ref[0].reshape(bh * ww, 3 * c)[:, :c]
-    kv = w_ref[0].reshape(wh * ww, 3 * c)
-    o = _spatial_attn(q, kv[:, c : 2 * c], kv[:, 2 * c :], None, scale, o_ref.dtype)
-    o_ref[0] = o.reshape(bh, ww, c)
-
-
-def _spatial_self_blocked_bias_kernel(x_ref, w_ref, b_ref, o_ref, *, scale: float, c: int):
-    bh, ww = x_ref.shape[1], x_ref.shape[2]
-    wh = w_ref.shape[1]
-    q = x_ref[0].reshape(bh * ww, 3 * c)[:, :c]
-    kv = w_ref[0].reshape(wh * ww, 3 * c)
-    o = _spatial_attn(q, kv[:, c : 2 * c], kv[:, 2 * c :], b_ref[0], scale, o_ref.dtype)
-    o_ref[0] = o.reshape(bh, ww, c)
-
-
-def _spatial_cross_blocked_kernel(q_ref, kv_ref, o_ref, *, scale: float, c: int):
-    bh, ww = q_ref.shape[1], q_ref.shape[2]
-    wh = kv_ref.shape[1]
-    q = q_ref[0].reshape(bh * ww, c)
-    kv = kv_ref[0].reshape(wh * ww, 2 * c)
-    o = _spatial_attn(q, kv[:, :c], kv[:, c:], None, scale, o_ref.dtype)
-    o_ref[0] = o.reshape(bh, ww, c)
-
-
-def _spatial_cross_blocked_bias_kernel(q_ref, kv_ref, b_ref, o_ref, *, scale: float, c: int):
-    bh, ww = q_ref.shape[1], q_ref.shape[2]
-    wh = kv_ref.shape[1]
-    q = q_ref[0].reshape(bh * ww, c)
-    kv = kv_ref[0].reshape(wh * ww, 2 * c)
-    o = _spatial_attn(q, kv[:, :c], kv[:, c:], b_ref[0], scale, o_ref.dtype)
+    xs = x_ref[0].reshape(bh * ww, x_ref.shape[3])
+    q = xs[:, :c]
+    if is_cross or blocked:
+        w_ref = next(it)
+        kvs = w_ref[0].reshape(w_ref.shape[1] * w_ref.shape[2], w_ref.shape[3])
+        if is_cross:
+            k, v = kvs[:, :c], kvs[:, c:]
+        else:
+            k, v = kvs[:, c : 2 * c], kvs[:, 2 * c :]
+    else:
+        k, v = xs[:, c : 2 * c], xs[:, 2 * c :]
+    bias = next(it)[0] if has_bias else None
+    o = _spatial_attn(q, k, v, bias, scale, o_ref.dtype)
+    if has_epi:
+        # merge projection + LayerNorm (f32 stats, torch eps) fused in the
+        # epilogue — the attention output and the merge output never reach
+        # HBM. Same LN convention as kernels/ffn.py.
+        m_ref, g_ref, b2_ref = next(it), next(it), next(it)
+        y = jax.lax.dot_general(
+            o, m_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + eps)
+        y = y * g_ref[...].astype(jnp.float32) + b2_ref[...].astype(jnp.float32)
+        o = y.astype(o_ref.dtype)
+        if has_src:  # residual (unshifted self layers)
+            s_ref = next(it)
+            o = o + s_ref[0].reshape(bh * ww, c)
     o_ref[0] = o.reshape(bh, ww, c)
 
 
@@ -221,88 +190,92 @@ def _pick_row_block(wh: int, ww: int, max_l: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_splits", "interpret"))
-def _swin_spatial_impl(q_or_qkv, kv, bias, num_splits, interpret=False):
+def _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
+                       num_splits, interpret=False):
     """q_or_qkv: [B, H, W, 3C] packed qkv (kv None) or [B, H, W, C] query
-    with kv [B, H, W, 2C]. bias: [ns*ns, L, L] f32 or None. -> [B, H, W, C]."""
+    with kv [B, H, W, 2C]. bias: [ns*ns, L, L] f32 or None. Optional fused
+    epilogue: merge_w [C, C] + gamma/beta [C] apply merge+LayerNorm; src
+    [B, H, W, C] additionally adds the residual. -> [B, H, W, C]."""
     b, h, w, cp = q_or_qkv.shape
     ns = num_splits
     wh, ww = h // ns, w // ns
     l = wh * ww
     c = cp // 3 if kv is None else cp
     scale = 1.0 / (c**0.5)
+    dt = q_or_qkv.dtype
 
-    if l <= _SPATIAL_MAX_L:
+    single = l <= _SPATIAL_MAX_L
+    bh = wh if single else _pick_row_block(wh, ww, _SPATIAL_MAX_L)
+    nqb = wh // bh
+    if single:
         grid = (b, ns, ns)
-        in_specs = [
-            pl.BlockSpec((1, wh, ww, cp), lambda i, j, k: (i, j, k, 0),
-                         memory_space=pltpu.VMEM)
-        ]
-        operands = [q_or_qkv]
-        if kv is not None:
-            in_specs.append(
-                pl.BlockSpec((1, wh, ww, 2 * c), lambda i, j, k: (i, j, k, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            operands.append(kv)
-        if bias is not None:
-            in_specs.append(
-                pl.BlockSpec((1, l, l), lambda i, j, k: (j * ns + k, 0, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            operands.append(bias.astype(jnp.float32))
 
-        kern = {
-            (False, False): _spatial_self_kernel,
-            (False, True): _spatial_self_bias_kernel,
-            (True, False): _spatial_cross_kernel,
-            (True, True): _spatial_cross_bias_kernel,
-        }[(kv is not None, bias is not None)]
-        out_spec = pl.BlockSpec((1, wh, ww, c), lambda i, j, k: (i, j, k, 0),
-                                memory_space=pltpu.VMEM)
+        def qmap(i, j, k):
+            return (i, j, k, 0)
+
+        def wmap(i, j, k):
+            return (i, j, k, 0)
+
+        def bmap(i, j, k):
+            return (j * ns + k, 0, 0)
     else:
-        bh = _pick_row_block(wh, ww, _SPATIAL_MAX_L)
-        nqb = wh // bh
         grid = (b, ns, ns, nqb)
-        in_specs = [
-            pl.BlockSpec((1, bh, ww, cp),
-                         lambda i, j, k, q: (i, j * nqb + q, k, 0),
-                         memory_space=pltpu.VMEM),
-            # whole-window k/v: for self-attention this is the SAME packed
-            # operand passed a second time with a window-sized block
-            pl.BlockSpec((1, wh, ww, cp if kv is None else 2 * c),
-                         lambda i, j, k, q: (i, j, k, 0),
-                         memory_space=pltpu.VMEM),
+
+        def qmap(i, j, k, q):
+            return (i, j * nqb + q, k, 0)
+
+        def wmap(i, j, k, q):
+            return (i, j, k, 0)
+
+        def bmap(i, j, k, q):
+            return (j * ns + k, q, 0)
+
+    in_specs = [pl.BlockSpec((1, bh, ww, cp), qmap, memory_space=pltpu.VMEM)]
+    operands = [q_or_qkv]
+    # whole-window k/v operand: needed when cross (separate kv tensor) or
+    # when q is row-blocked (self passes the packed qkv a second time; its
+    # index map is constant in the q dim so the pipeline fetches it once)
+    if kv is not None or not single:
+        in_specs.append(
+            pl.BlockSpec((1, wh, ww, cp if kv is None else 2 * c), wmap,
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(q_or_qkv if kv is None else kv)
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bh * ww, l), bmap, memory_space=pltpu.VMEM)
+        )
+        operands.append(bias.astype(jnp.float32))
+    if merge_w is not None:
+        in_specs += [
+            pl.BlockSpec((c, c), (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
         ]
-        operands = [q_or_qkv, q_or_qkv if kv is None else kv]
-        if bias is not None:
+        operands += [merge_w.astype(dt), gamma.reshape(1, c), beta.reshape(1, c)]
+        if src is not None:
             in_specs.append(
-                pl.BlockSpec((1, bh * ww, l),
-                             lambda i, j, k, q: (j * ns + k, q, 0),
-                             memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, bh, ww, c), qmap, memory_space=pltpu.VMEM)
             )
-            operands.append(bias.astype(jnp.float32))
+            operands.append(src)
 
-        kern = {
-            (False, False): _spatial_self_blocked_kernel,
-            (False, True): _spatial_self_blocked_bias_kernel,
-            (True, False): _spatial_cross_blocked_kernel,
-            (True, True): _spatial_cross_blocked_bias_kernel,
-        }[(kv is not None, bias is not None)]
-        out_spec = pl.BlockSpec((1, bh, ww, c),
-                                lambda i, j, k, q: (i, j * nqb + q, k, 0),
-                                memory_space=pltpu.VMEM)
-
+    kern = functools.partial(
+        _spatial_flex_kernel, scale=scale, c=c,
+        is_cross=kv is not None, blocked=not single, has_bias=bias is not None,
+        has_epi=merge_w is not None, has_src=merge_w is not None and src is not None,
+    )
     return pl.pallas_call(
-        functools.partial(kern, scale=scale, c=c),
+        kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), q_or_qkv.dtype),
+        out_specs=pl.BlockSpec((1, bh, ww, c), qmap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
         interpret=interpret,
     )(*operands)
 
 
-def _swin_spatial_reference(q_or_qkv, kv, bias, num_splits):
+def _swin_spatial_reference(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
+                            num_splits, eps=1e-5):
     """jnp twin (same math/rounding as the kernel) via split/merge relayouts."""
     from unimatch_tpu.ops import windows as W
 
@@ -319,66 +292,44 @@ def _swin_spatial_reference(q_or_qkv, kv, bias, num_splits):
     ks = W.split_feature(k, ns).reshape(b * ns * ns, lw, c)
     vs = W.split_feature(v, ns).reshape(b * ns * ns, lw, c)
     out = _reference(qs, ks, vs, bias)
-    return W.merge_splits(out.reshape(b * ns * ns, h // ns, w // ns, c), ns)
+    out = W.merge_splits(out.reshape(b * ns * ns, h // ns, w // ns, c), ns)
+    if merge_w is not None:
+        y = jnp.einsum("bhwc,cd->bhwd", out, merge_w.astype(out.dtype),
+                       preferred_element_type=jnp.float32)
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + eps)
+        y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        out = y.astype(q_or_qkv.dtype)
+        if src is not None:
+            out = out + src
+    return out
 
 
 @functools.lru_cache(maxsize=None)
-def _swin_spatial_with_vjp(num_splits: int, has_kv: bool, has_bias: bool):
-    if has_kv and has_bias:
+def _swin_spatial_with_vjp(num_splits: int):
+    @jax.custom_vjp
+    def f(x, kv, bias, merge_w, gamma, beta, src):
+        return _swin_spatial_impl(x, kv, bias, merge_w, gamma, beta, src, num_splits)
 
-        @jax.custom_vjp
-        def f(x, kv, bias):
-            return _swin_spatial_impl(x, kv, bias, num_splits)
+    def fwd(*args):
+        return f(*args), args
 
-        def fwd(x, kv, bias):
-            return f(x, kv, bias), (x, kv, bias)
+    def bwd(res, ct):
+        live = [i for i, a in enumerate(res) if a is not None]
 
-        def bwd(res, g):
-            _, vjp = jax.vjp(
-                lambda a, b_, c_: _swin_spatial_reference(a, b_, c_, num_splits), *res)
-            return vjp(g)
+        def g(*live_args):
+            full = list(res)
+            for i, a in zip(live, live_args):
+                full[i] = a
+            return _swin_spatial_reference(*full, num_splits)
 
-    elif has_kv:
-
-        @jax.custom_vjp
-        def f(x, kv):
-            return _swin_spatial_impl(x, kv, None, num_splits)
-
-        def fwd(x, kv):
-            return f(x, kv), (x, kv)
-
-        def bwd(res, g):
-            _, vjp = jax.vjp(
-                lambda a, b_: _swin_spatial_reference(a, b_, None, num_splits), *res)
-            return vjp(g)
-
-    elif has_bias:
-
-        @jax.custom_vjp
-        def f(x, bias):
-            return _swin_spatial_impl(x, None, bias, num_splits)
-
-        def fwd(x, bias):
-            return f(x, bias), (x, bias)
-
-        def bwd(res, g):
-            _, vjp = jax.vjp(
-                lambda a, c_: _swin_spatial_reference(a, None, c_, num_splits), *res)
-            return vjp(g)
-
-    else:
-
-        @jax.custom_vjp
-        def f(x):
-            return _swin_spatial_impl(x, None, None, num_splits)
-
-        def fwd(x):
-            return f(x), (x,)
-
-        def bwd(res, g):
-            _, vjp = jax.vjp(
-                lambda a: _swin_spatial_reference(a, None, None, num_splits), *res)
-            return vjp(g)
+        _, vjp = jax.vjp(g, *[res[i] for i in live])
+        cts = vjp(ct)
+        out = [None] * len(res)
+        for i, cv in zip(live, cts):
+            out[i] = cv
+        return tuple(out)
 
     f.defvjp(fwd, bwd)
     return f
@@ -398,28 +349,37 @@ def swin_spatial_supported(h: int, w: int, packed_c: int, num_splits: int,
 
 def swin_attention_spatial(q_or_qkv: jnp.ndarray, kv: jnp.ndarray | None,
                            num_splits: int, bias: jnp.ndarray | None = None,
+                           epilogue=None, src: jnp.ndarray | None = None,
                            interpret: bool = False) -> jnp.ndarray:
     """Relayout-free Swin window attention on NHWC tensors.
 
     q_or_qkv: [B, H, W, 3C] packed qkv (self-attention, kv=None) or
     [B, H, W, C] query with kv: [B, H, W, 2C] packed key/value (cross).
     bias: optional [ns*ns, L, L] additive mask (L = (H/ns)*(W/ns)).
-    Shifted windows are the caller's job (roll in, roll out). Returns
-    [B, H, W, C]. Falls back to the jnp twin on CPU or when the window
-    token count exceeds the VMEM score budget.
+    epilogue: optional (merge_w [C, C], gamma [C], beta [C]) — fuses the
+    merge projection + LayerNorm after attention; src additionally adds the
+    residual in-kernel (pass only when no roll-back separates attention
+    from the residual). Shifted windows are the caller's job (roll in, roll
+    out). Returns [B, H, W, C]. Falls back to the jnp twin on CPU or when
+    the window exceeds the VMEM budget.
     """
     b, h, w, cp = q_or_qkv.shape
     ns = num_splits
+    merge_w = gamma = beta = None
+    if epilogue is not None:
+        merge_w, gamma, beta = epilogue
+    else:
+        assert src is None
     packed = cp if kv is None else kv.shape[-1]  # the whole-window operand
     if not swin_spatial_supported(h, w, packed, ns, q_or_qkv.dtype) or (
         jax.default_backend() == "cpu" and not interpret
     ):
-        return _swin_spatial_reference(q_or_qkv, kv, bias, ns)
+        return _swin_spatial_reference(q_or_qkv, kv, bias, merge_w, gamma,
+                                       beta, src, ns)
     if interpret:
-        return _swin_spatial_impl(q_or_qkv, kv, bias, ns, interpret=True)
-    f = _swin_spatial_with_vjp(ns, kv is not None, bias is not None)
-    args = [q_or_qkv] + ([kv] if kv is not None else []) + ([bias] if bias is not None else [])
-    return f(*args)
+        return _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta,
+                                  src, ns, interpret=True)
+    return _swin_spatial_with_vjp(ns)(q_or_qkv, kv, bias, merge_w, gamma, beta, src)
 
 
 def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -114,11 +114,23 @@ class TransformerLayer(nn.Module):
                 key, value = kv[..., :c], kv[..., c:]
 
         if use_spatial:
+            # merge + norm1 fuse into the attention kernel's epilogue
+            # (identical param tree: same names/inits as the _dense and
+            # LayerNorm modules on the unfused path)
+            wm = self.scope.push("merge").param("kernel", xavier_uniform, (c, c))
+            nsc = self.scope.push("norm1")
+            g1 = nsc.param("scale", nn.initializers.ones, (c,))
+            b1 = nsc.param("bias", nn.initializers.zeros, (c,))
+            fuse_residual = self.no_ffn and not with_shift
             message = A.swin_attention_packed(
                 qkv if is_self_attn else query,
                 None if is_self_attn else kv,
                 attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d,
+                epilogue=(wm, g1, b1),
+                residual_source=source if fuse_residual else None,
             )
+            if self.no_ffn:
+                return message if fuse_residual else source + message
         elif attn_type == "swin" and attn_num_splits > 1:
             message = A.split_window_attention(
                 query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d
@@ -152,8 +164,9 @@ class TransformerLayer(nn.Module):
         else:
             message = A.full_attention(query, key, value)
 
-        message = _dense(c, "merge")(message)
-        message = LayerNorm(name="norm1")(message)
+        if not use_spatial:
+            message = _dense(c, "merge")(message)
+            message = LayerNorm(name="norm1")(message)
 
         if not self.no_ffn:
             hdim = 2 * c * self.ffn_dim_expansion

@@ -120,6 +120,8 @@ def swin_attention_packed(
     h: int,
     w: int,
     attn_mask: Optional[jnp.ndarray] = None,
+    epilogue=None,
+    residual_source: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Swin shifted-window 2D attention on channel-packed projections —
     relayout-free on TPU. Same values as split_window_attention; reference
@@ -132,11 +134,22 @@ def swin_attention_packed(
     split_feature/merge_splits HBM relayouts of the [N, L, C] form never
     exist; for shifted windows a single roll of each packed input replaces
     the three per-tensor rolls.
+
+    epilogue: optional (merge_w, gamma, beta) — fuses the transformer
+    layer's merge projection + LayerNorm into the kernel (merge and LN are
+    per-token channel maps, so they commute with the shift roll-back).
+    residual_source: [B, H*W, C] adds the layer residual in-kernel too —
+    only valid for unshifted calls (the residual must be added in unrolled
+    coordinates; shifted callers add it after the roll-back).
     """
     b, l, cp = q_or_qkv.shape
     assert l == h * w
     x = q_or_qkv.reshape(b, h, w, cp)
     kv4 = kv.reshape(b, h, w, kv.shape[-1]) if kv is not None else None
+    src4 = None
+    if residual_source is not None:
+        assert not with_shift and epilogue is not None
+        src4 = residual_source.reshape(b, h, w, residual_source.shape[-1])
     if with_shift:
         assert attn_mask is not None
         sh, sw = (h // num_splits) // 2, (w // num_splits) // 2
@@ -147,7 +160,8 @@ def swin_attention_packed(
     from unimatch_tpu.kernels.window_attention import swin_attention_spatial
 
     out = swin_attention_spatial(
-        x, kv4, num_splits, bias=attn_mask if with_shift else None
+        x, kv4, num_splits, bias=attn_mask if with_shift else None,
+        epilogue=epilogue, src=src4,
     )
     if with_shift:
         out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
