@@ -139,31 +139,45 @@ def _spatial_attn(q, k, v, bias, scale, out_dtype):
 
 
 def _spatial_flex_kernel(*refs, scale, c, is_cross, blocked, has_bias,
-                         has_epi, has_src, eps=1e-5):
-    """One kernel body for every spatial variant. Ref order:
-    x (q rows; packed qkv when self) [, kv whole-window] [, bias]
-    [, merge_w, gamma, beta] [, src], out."""
+                         has_epi, fuse_res, eps=1e-5):
+    """One kernel body for every spatial variant: q/k/v projection,
+    windowed attention, and optionally the merge+LayerNorm(+residual)
+    epilogue — the projected q/k/v, the score tile, the attention output,
+    and the merge product never exist in HBM. Ref order:
+    source q-rows [, kv-source whole-window] , wqkv | (wq, wkv)
+    [, bias] [, merge_w, gamma, beta], out."""
     o_ref = refs[-1]
     it = iter(refs[:-1])
-    x_ref = next(it)
+    x_ref = next(it)  # [1, bh, ww, C] source rows (q side)
     bh, ww = x_ref.shape[1], x_ref.shape[2]
-    xs = x_ref[0].reshape(bh * ww, x_ref.shape[3])
-    q = xs[:, :c]
+    dt = o_ref.dtype
+    xs = x_ref[0].reshape(bh * ww, c)
     if is_cross or blocked:
-        w_ref = next(it)
-        kvs = w_ref[0].reshape(w_ref.shape[1] * w_ref.shape[2], w_ref.shape[3])
-        if is_cross:
-            k, v = kvs[:, :c], kvs[:, c:]
-        else:
-            k, v = kvs[:, c : 2 * c], kvs[:, 2 * c :]
+        w_ref = next(it)  # [1, wh, ww, C] k/v source (target when cross)
+        ws = w_ref[0].reshape(w_ref.shape[1] * w_ref.shape[2], c)
     else:
-        k, v = xs[:, c : 2 * c], xs[:, 2 * c :]
+        ws = xs
+
+    def proj(a, wm):
+        return jax.lax.dot_general(
+            a, wm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dt)
+
+    if is_cross:
+        wq_ref, wkv_ref = next(it), next(it)
+        q = proj(xs, wq_ref[...])
+        kv = proj(ws, wkv_ref[...])
+    else:
+        w = next(it)[...]  # [C, 3C]
+        q = proj(xs, w[:, :c])
+        kv = proj(ws, w[:, c:])
+    k, v = kv[:, :c], kv[:, c:]
+
     bias = next(it)[0] if has_bias else None
-    o = _spatial_attn(q, k, v, bias, scale, o_ref.dtype)
+    o = _spatial_attn(q, k, v, bias, scale, dt)
     if has_epi:
-        # merge projection + LayerNorm (f32 stats, torch eps) fused in the
-        # epilogue — the attention output and the merge output never reach
-        # HBM. Same LN convention as kernels/ffn.py.
+        # merge projection + LayerNorm (f32 stats, torch eps; same
+        # convention as kernels/ffn.py)
         m_ref, g_ref, b2_ref = next(it), next(it), next(it)
         y = jax.lax.dot_general(
             o, m_ref[...], (((1,), (0,)), ((), ())),
@@ -173,10 +187,9 @@ def _spatial_flex_kernel(*refs, scale, c, is_cross, blocked, has_bias,
         var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
         y = (y - mean) * jax.lax.rsqrt(var + eps)
         y = y * g_ref[...].astype(jnp.float32) + b2_ref[...].astype(jnp.float32)
-        o = y.astype(o_ref.dtype)
-        if has_src:  # residual (unshifted self layers)
-            s_ref = next(it)
-            o = o + s_ref[0].reshape(bh * ww, c)
+        o = y.astype(dt)
+        if fuse_res:  # residual (unshifted self layers): source rows
+            o = o + xs
     o_ref[0] = o.reshape(bh, ww, c)
 
 
@@ -189,20 +202,21 @@ def _pick_row_block(wh: int, ww: int, max_l: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("num_splits", "interpret"))
-def _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
-                       num_splits, interpret=False):
-    """q_or_qkv: [B, H, W, 3C] packed qkv (kv None) or [B, H, W, C] query
-    with kv [B, H, W, 2C]. bias: [ns*ns, L, L] f32 or None. Optional fused
-    epilogue: merge_w [C, C] + gamma/beta [C] apply merge+LayerNorm; src
-    [B, H, W, C] additionally adds the residual. -> [B, H, W, C]."""
-    b, h, w, cp = q_or_qkv.shape
+@functools.partial(jax.jit, static_argnames=("num_splits", "fuse_res", "interpret"))
+def _swin_spatial_impl(source, target, w1, w2, bias, merge_w, gamma, beta,
+                       num_splits, fuse_res=False, interpret=False):
+    """source: [B, H, W, C]. Self-attention: target None, w1 = wqkv [C, 3C],
+    w2 None. Cross: target [B, H, W, C], w1 = wq [C, C], w2 = wkv [C, 2C].
+    bias: [ns*ns, L, L] f32 or None. merge_w/gamma/beta: optional fused
+    merge+LayerNorm epilogue; fuse_res adds the residual (self only).
+    -> [B, H, W, C]."""
+    b, h, w, c = source.shape
     ns = num_splits
     wh, ww = h // ns, w // ns
     l = wh * ww
-    c = cp // 3 if kv is None else cp
     scale = 1.0 / (c**0.5)
-    dt = q_or_qkv.dtype
+    dt = source.dtype
+    is_cross = target is not None
 
     single = l <= _SPATIAL_MAX_L
     bh = wh if single else _pick_row_block(wh, ww, _SPATIAL_MAX_L)
@@ -218,6 +232,9 @@ def _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
 
         def bmap(i, j, k):
             return (j * ns + k, 0, 0)
+
+        def cmap(i, j, k):
+            return (0, 0)
     else:
         grid = (b, ns, ns, nqb)
 
@@ -230,17 +247,28 @@ def _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
         def bmap(i, j, k, q):
             return (j * ns + k, q, 0)
 
-    in_specs = [pl.BlockSpec((1, bh, ww, cp), qmap, memory_space=pltpu.VMEM)]
-    operands = [q_or_qkv]
-    # whole-window k/v operand: needed when cross (separate kv tensor) or
-    # when q is row-blocked (self passes the packed qkv a second time; its
-    # index map is constant in the q dim so the pipeline fetches it once)
-    if kv is not None or not single:
+        def cmap(i, j, k, q):
+            return (0, 0)
+
+    in_specs = [pl.BlockSpec((1, bh, ww, c), qmap, memory_space=pltpu.VMEM)]
+    operands = [source]
+    # whole-window k/v source: the target (cross) or the source again
+    # (row-blocked self; its index map is constant in the q dim so the
+    # pipeline fetches it once per window)
+    if is_cross or not single:
         in_specs.append(
-            pl.BlockSpec((1, wh, ww, cp if kv is None else 2 * c), wmap,
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, wh, ww, c), wmap, memory_space=pltpu.VMEM)
         )
-        operands.append(q_or_qkv if kv is None else kv)
+        operands.append(target if is_cross else source)
+    if is_cross:
+        in_specs += [
+            pl.BlockSpec((c, c), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * c), cmap, memory_space=pltpu.VMEM),
+        ]
+        operands += [w1.astype(dt), w2.astype(dt)]
+    else:
+        in_specs.append(pl.BlockSpec((c, 3 * c), cmap, memory_space=pltpu.VMEM))
+        operands.append(w1.astype(dt))
     if bias is not None:
         in_specs.append(
             pl.BlockSpec((1, bh * ww, l), bmap, memory_space=pltpu.VMEM)
@@ -248,21 +276,16 @@ def _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
         operands.append(bias.astype(jnp.float32))
     if merge_w is not None:
         in_specs += [
-            pl.BlockSpec((c, c), (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), (lambda *a: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cmap, memory_space=pltpu.VMEM),
         ]
         operands += [merge_w.astype(dt), gamma.reshape(1, c), beta.reshape(1, c)]
-        if src is not None:
-            in_specs.append(
-                pl.BlockSpec((1, bh, ww, c), qmap, memory_space=pltpu.VMEM)
-            )
-            operands.append(src)
 
     kern = functools.partial(
         _spatial_flex_kernel, scale=scale, c=c,
-        is_cross=kv is not None, blocked=not single, has_bias=bias is not None,
-        has_epi=merge_w is not None, has_src=merge_w is not None and src is not None,
+        is_cross=is_cross, blocked=not single, has_bias=bias is not None,
+        has_epi=merge_w is not None, fuse_res=fuse_res,
     )
     return pl.pallas_call(
         kern,
@@ -274,19 +297,26 @@ def _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
     )(*operands)
 
 
-def _swin_spatial_reference(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
-                            num_splits, eps=1e-5):
+def _swin_spatial_reference(source, target, w1, w2, bias, merge_w, gamma,
+                            beta, num_splits, fuse_res=False, eps=1e-5):
     """jnp twin (same math/rounding as the kernel) via split/merge relayouts."""
     from unimatch_tpu.ops import windows as W
 
-    b, h, w, cp = q_or_qkv.shape
+    b, h, w, c = source.shape
     ns = num_splits
-    if kv is None:
-        c = cp // 3
-        q, k, v = (q_or_qkv[..., :c], q_or_qkv[..., c : 2 * c], q_or_qkv[..., 2 * c :])
+    dt = source.dtype
+
+    def proj(a, wm):
+        return jnp.einsum("bhwc,cd->bhwd", a, wm.astype(dt),
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    if target is not None:
+        q = proj(source, w1)
+        kv = proj(target, w2)
     else:
-        c = cp
-        q, k, v = q_or_qkv, kv[..., :c], kv[..., c:]
+        q = proj(source, w1[:, :c])
+        kv = proj(source, w1[:, c:])
+    k, v = kv[..., :c], kv[..., c:]
     lw = (h // ns) * (w // ns)
     qs = W.split_feature(q, ns).reshape(b * ns * ns, lw, c)
     ks = W.split_feature(k, ns).reshape(b * ns * ns, lw, c)
@@ -294,23 +324,24 @@ def _swin_spatial_reference(q_or_qkv, kv, bias, merge_w, gamma, beta, src,
     out = _reference(qs, ks, vs, bias)
     out = W.merge_splits(out.reshape(b * ns * ns, h // ns, w // ns, c), ns)
     if merge_w is not None:
-        y = jnp.einsum("bhwc,cd->bhwd", out, merge_w.astype(out.dtype),
+        y = jnp.einsum("bhwc,cd->bhwd", out, merge_w.astype(dt),
                        preferred_element_type=jnp.float32)
         mean = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
         y = (y - mean) * jax.lax.rsqrt(var + eps)
         y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-        out = y.astype(q_or_qkv.dtype)
-        if src is not None:
-            out = out + src
+        out = y.astype(dt)
+        if fuse_res:
+            out = out + source
     return out
 
 
 @functools.lru_cache(maxsize=None)
-def _swin_spatial_with_vjp(num_splits: int):
+def _swin_spatial_with_vjp(num_splits: int, fuse_res: bool):
     @jax.custom_vjp
-    def f(x, kv, bias, merge_w, gamma, beta, src):
-        return _swin_spatial_impl(x, kv, bias, merge_w, gamma, beta, src, num_splits)
+    def f(source, target, w1, w2, bias, merge_w, gamma, beta):
+        return _swin_spatial_impl(source, target, w1, w2, bias, merge_w,
+                                  gamma, beta, num_splits, fuse_res=fuse_res)
 
     def fwd(*args):
         return f(*args), args
@@ -322,7 +353,7 @@ def _swin_spatial_with_vjp(num_splits: int):
             full = list(res)
             for i, a in zip(live, live_args):
                 full[i] = a
-            return _swin_spatial_reference(*full, num_splits)
+            return _swin_spatial_reference(*full, num_splits, fuse_res=fuse_res)
 
         _, vjp = jax.vjp(g, *[res[i] for i in live])
         cts = vjp(ct)
@@ -335,51 +366,57 @@ def _swin_spatial_with_vjp(num_splits: int):
     return f
 
 
-def swin_spatial_supported(h: int, w: int, packed_c: int, num_splits: int,
+def swin_spatial_supported(h: int, w: int, c: int, num_splits: int,
                            dtype) -> bool:
     """Whether the spatial kernel's VMEM budget covers this window shape:
-    whole-window k/v block + a <=512-row score tile must fit."""
+    whole-window k/v (projected, 2C wide) + a <=512-row score tile."""
     ns = num_splits
     if (h % ns) or (w % ns):
         return False
     l = (h // ns) * (w // ns)
-    kv_bytes = l * packed_c * jnp.dtype(dtype).itemsize
+    kv_bytes = l * 2 * c * jnp.dtype(dtype).itemsize
     return l <= 4096 and kv_bytes <= 6 * 1024 * 1024
 
 
-def swin_attention_spatial(q_or_qkv: jnp.ndarray, kv: jnp.ndarray | None,
-                           num_splits: int, bias: jnp.ndarray | None = None,
-                           epilogue=None, src: jnp.ndarray | None = None,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Relayout-free Swin window attention on NHWC tensors.
+def swin_layer_attention_spatial(source: jnp.ndarray,
+                                 target: jnp.ndarray | None,
+                                 w1: jnp.ndarray, w2: jnp.ndarray | None,
+                                 num_splits: int,
+                                 bias: jnp.ndarray | None = None,
+                                 epilogue=None, fuse_res: bool = False,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Relayout-free Swin window attention on NHWC source features, with
+    the q/k/v projections computed per window block in-kernel.
 
-    q_or_qkv: [B, H, W, 3C] packed qkv (self-attention, kv=None) or
-    [B, H, W, C] query with kv: [B, H, W, 2C] packed key/value (cross).
+    Self-attention: target None, w1 = packed wqkv [C, 3C], w2 None.
+    Cross: target [B, H, W, C], w1 = wq [C, C], w2 = packed wkv [C, 2C].
     bias: optional [ns*ns, L, L] additive mask (L = (H/ns)*(W/ns)).
-    epilogue: optional (merge_w [C, C], gamma [C], beta [C]) — fuses the
-    merge projection + LayerNorm after attention; src additionally adds the
-    residual in-kernel (pass only when no roll-back separates attention
-    from the residual). Shifted windows are the caller's job (roll in, roll
-    out). Returns [B, H, W, C]. Falls back to the jnp twin on CPU or when
-    the window exceeds the VMEM budget.
+    epilogue: optional (merge_w [C, C], gamma [C], beta [C]) fusing the
+    merge projection + LayerNorm; fuse_res additionally adds the residual
+    in-kernel (only when no roll-back separates attention from the
+    residual). Shifted windows are the caller's job (roll source/target in,
+    roll the output back). Returns [B, H, W, C]. Falls back to the jnp twin
+    on CPU or when the window exceeds the VMEM budget.
     """
-    b, h, w, cp = q_or_qkv.shape
+    b, h, w, c = source.shape
     ns = num_splits
     merge_w = gamma = beta = None
     if epilogue is not None:
         merge_w, gamma, beta = epilogue
     else:
-        assert src is None
-    packed = cp if kv is None else kv.shape[-1]  # the whole-window operand
-    if not swin_spatial_supported(h, w, packed, ns, q_or_qkv.dtype) or (
+        assert not fuse_res
+    if not swin_spatial_supported(h, w, c, ns, source.dtype) or (
         jax.default_backend() == "cpu" and not interpret
     ):
-        return _swin_spatial_reference(q_or_qkv, kv, bias, merge_w, gamma,
-                                       beta, src, ns)
+        return _swin_spatial_reference(source, target, w1, w2, bias, merge_w,
+                                       gamma, beta, ns, fuse_res=fuse_res)
     if interpret:
-        return _swin_spatial_impl(q_or_qkv, kv, bias, merge_w, gamma, beta,
-                                  src, ns, interpret=True)
-    return _swin_spatial_with_vjp(ns)(q_or_qkv, kv, bias, merge_w, gamma, beta, src)
+        return _swin_spatial_impl(source, target, w1, w2, bias, merge_w,
+                                  gamma, beta, ns, fuse_res=fuse_res,
+                                  interpret=True)
+    return _swin_spatial_with_vjp(ns, fuse_res)(
+        source, target, w1, w2, bias, merge_w, gamma, beta
+    )
 
 
 def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -80,8 +80,9 @@ class TransformerLayer(nn.Module):
         wk = self.scope.push("k_proj").param("kernel", xavier_uniform, (c, c))
         wv = self.scope.push("v_proj").param("kernel", xavier_uniform, (c, c))
         dt = source.dtype
-        # the spatial kernel consumes the channel-packed projections
-        # directly — slicing q/k/v out would materialize copies it avoids
+        # swin-2D attention dispatches to the fused spatial layer kernel
+        # when enabled — projections happen in-kernel there, so the packed
+        # einsums below are skipped entirely on that path
         swin_2d_here = attn_num_splits > 1 and (
             attn_type == "swin"
             or (is_self_attn and attn_type in ("self_swin2d_cross_1d",
@@ -93,44 +94,48 @@ class TransformerLayer(nn.Module):
         if swin_2d_here and _swin_spatial():
             from unimatch_tpu.kernels.window_attention import swin_spatial_supported
 
-            use_spatial = swin_spatial_supported(
-                h, w, 3 * c if is_self_attn else 2 * c, attn_num_splits, dt
-            )
-        if is_self_attn:
-            qkv = jnp.einsum(
-                "blc,cd->bld", source, jnp.concatenate([wq, wk, wv], axis=1).astype(dt),
-                preferred_element_type=jnp.float32,
-            ).astype(dt)
-            if not use_spatial:
-                query, key, value = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
-        else:
-            query = jnp.einsum("blc,cd->bld", source, wq.astype(dt),
-                               preferred_element_type=jnp.float32).astype(dt)
-            kv = jnp.einsum(
-                "blc,cd->bld", target, jnp.concatenate([wk, wv], axis=1).astype(dt),
-                preferred_element_type=jnp.float32,
-            ).astype(dt)
-            if not use_spatial:
-                key, value = kv[..., :c], kv[..., c:]
+            use_spatial = swin_spatial_supported(h, w, c, attn_num_splits, dt)
 
         if use_spatial:
-            # merge + norm1 fuse into the attention kernel's epilogue
-            # (identical param tree: same names/inits as the _dense and
-            # LayerNorm modules on the unfused path)
+            # the whole layer runs as one kernel: qkv projection, window
+            # attention, merge + norm1 epilogue, and (unshifted self
+            # layers) the residual. Identical param tree: same names/inits
+            # as the _dense and LayerNorm modules on the unfused path.
             wm = self.scope.push("merge").param("kernel", xavier_uniform, (c, c))
             nsc = self.scope.push("norm1")
             g1 = nsc.param("scale", nn.initializers.ones, (c,))
             b1 = nsc.param("bias", nn.initializers.zeros, (c,))
             fuse_residual = self.no_ffn and not with_shift
-            message = A.swin_attention_packed(
-                qkv if is_self_attn else query,
-                None if is_self_attn else kv,
+            if is_self_attn:
+                w1, w2, tgt = jnp.concatenate([wq, wk, wv], axis=1), None, None
+            else:
+                w1, w2, tgt = wq, jnp.concatenate([wk, wv], axis=1), target
+            message = A.swin_layer_attention(
+                source, tgt, w1, w2,
                 attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d,
-                epilogue=(wm, g1, b1),
-                residual_source=source if fuse_residual else None,
+                epilogue=(wm, g1, b1), fuse_res=fuse_residual,
             )
             if self.no_ffn:
                 return message if fuse_residual else source + message
+        if not use_spatial:
+            if is_self_attn:
+                qkv = jnp.einsum(
+                    "blc,cd->bld", source,
+                    jnp.concatenate([wq, wk, wv], axis=1).astype(dt),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                query, key, value = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+            else:
+                query = jnp.einsum("blc,cd->bld", source, wq.astype(dt),
+                                   preferred_element_type=jnp.float32).astype(dt)
+                kv = jnp.einsum(
+                    "blc,cd->bld", target, jnp.concatenate([wk, wv], axis=1).astype(dt),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                key, value = kv[..., :c], kv[..., c:]
+
+        if use_spatial:
+            pass  # message = merge+norm1 output from the fused layer kernel
         elif attn_type == "swin" and attn_num_splits > 1:
             message = A.split_window_attention(
                 query, key, value, attn_num_splits, with_shift, h, w, attn_mask=attn_mask_2d

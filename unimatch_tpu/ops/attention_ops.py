@@ -112,56 +112,52 @@ def split_window_attention(
     return out.reshape(b, l, c)
 
 
-def swin_attention_packed(
-    q_or_qkv: jnp.ndarray,
-    kv: Optional[jnp.ndarray],
+def swin_layer_attention(
+    source: jnp.ndarray,
+    target: Optional[jnp.ndarray],
+    w1: jnp.ndarray,
+    w2: Optional[jnp.ndarray],
     num_splits: int,
     with_shift: bool,
     h: int,
     w: int,
     attn_mask: Optional[jnp.ndarray] = None,
     epilogue=None,
-    residual_source: Optional[jnp.ndarray] = None,
+    fuse_res: bool = False,
 ) -> jnp.ndarray:
-    """Swin shifted-window 2D attention on channel-packed projections —
-    relayout-free on TPU. Same values as split_window_attention; reference
-    attention.py:45-104.
+    """Swin shifted-window 2D attention computed straight from the layer's
+    source/target features — relayout-free on TPU. Same values as
+    projection + split_window_attention; reference attention.py:45-104.
 
-    q_or_qkv: [B, H*W, 3C] packed qkv (self-attention, kv=None) or
-    [B, H*W, C] query with kv: [B, H*W, 2C] packed key/value (cross). The
-    window split/merge runs inside the Pallas kernel's BlockSpec index maps
-    (kernels/window_attention.py::swin_attention_spatial), so the
-    split_feature/merge_splits HBM relayouts of the [N, L, C] form never
-    exist; for shifted windows a single roll of each packed input replaces
-    the three per-tensor rolls.
-
-    epilogue: optional (merge_w, gamma, beta) — fuses the transformer
-    layer's merge projection + LayerNorm into the kernel (merge and LN are
-    per-token channel maps, so they commute with the shift roll-back).
-    residual_source: [B, H*W, C] adds the layer residual in-kernel too —
-    only valid for unshifted calls (the residual must be added in unrolled
-    coordinates; shifted callers add it after the roll-back).
+    source: [B, H*W, C]; self-attention passes target=None with w1 = packed
+    wqkv [C, 3C]; cross passes target [B, H*W, C] with w1 = wq [C, C] and
+    w2 = packed wkv [C, 2C]. The q/k/v projections, window split/merge,
+    attention, and (optionally, via epilogue=(merge_w, gamma, beta)) the
+    merge projection + LayerNorm all run inside one Pallas kernel
+    (kernels/window_attention.py::swin_layer_attention_spatial) — the
+    projected q/k/v and the attention output never exist in HBM. For
+    shifted windows one roll of the C-wide source (and target) replaces the
+    three rolls of projected tensors; fuse_res adds the layer residual
+    in-kernel and is only valid unshifted (shifted callers add it after the
+    roll-back — merge/LN are per-token channel maps, so they commute with
+    the roll).
     """
-    b, l, cp = q_or_qkv.shape
+    b, l, c = source.shape
     assert l == h * w
-    x = q_or_qkv.reshape(b, h, w, cp)
-    kv4 = kv.reshape(b, h, w, kv.shape[-1]) if kv is not None else None
-    src4 = None
-    if residual_source is not None:
-        assert not with_shift and epilogue is not None
-        src4 = residual_source.reshape(b, h, w, residual_source.shape[-1])
+    x = source.reshape(b, h, w, c)
+    t4 = target.reshape(b, h, w, c) if target is not None else None
     if with_shift:
-        assert attn_mask is not None
+        assert attn_mask is not None and not fuse_res
         sh, sw = (h // num_splits) // 2, (w // num_splits) // 2
         x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
-        if kv4 is not None:
-            kv4 = jnp.roll(kv4, shift=(-sh, -sw), axis=(1, 2))
+        if t4 is not None:
+            t4 = jnp.roll(t4, shift=(-sh, -sw), axis=(1, 2))
 
-    from unimatch_tpu.kernels.window_attention import swin_attention_spatial
+    from unimatch_tpu.kernels.window_attention import swin_layer_attention_spatial
 
-    out = swin_attention_spatial(
-        x, kv4, num_splits, bias=attn_mask if with_shift else None,
-        epilogue=epilogue, src=src4,
+    out = swin_layer_attention_spatial(
+        x, t4, w1, w2, num_splits, bias=attn_mask if with_shift else None,
+        epilogue=epilogue, fuse_res=fuse_res,
     )
     if with_shift:
         out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
