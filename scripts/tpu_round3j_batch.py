@@ -281,9 +281,10 @@ def stage_swin_spatial():
 
 
 def stage_conv_form_probe():
-    """Re-probe lax.conv_general_dilated vs conv_via_matmul at the two
-    heaviest backbone shapes. Round-1 measured lax.conv erratically 10-25x
-    off peak (bimodal across compiles); XLA may have moved."""
+    """Re-probe conv forms at the two heaviest backbone shapes:
+    conv_via_matmul (K f32 tap partials), im2col (one wide-K dot), and
+    lax.conv_general_dilated (round-1 measured it erratically 10-25x off
+    peak, bimodal across compiles; XLA may have moved)."""
     from unimatch_tpu.models.layers import conv_via_matmul
 
     shapes = [((1, 224, 512, 64), 64), ((1, 112, 256, 96), 96)]
@@ -296,6 +297,9 @@ def stage_conv_form_probe():
         def via_matmul(a, kk):
             return conv_via_matmul(a, kk, (1, 1), (1, 1))
 
+        def via_im2col(a, kk):
+            return conv_via_matmul(a, kk, (1, 1), (1, 1))
+
         def via_laxconv(a, kk):
             return jax.lax.conv_general_dilated(
                 a, kk, window_strides=(1, 1), padding="SAME",
@@ -305,13 +309,45 @@ def stage_conv_form_probe():
 
         via_laxconv.__name__ = "laxconv_" + tag
         via_matmul.__name__ = "matmul_" + tag
+        via_im2col.__name__ = "im2col_" + tag
         for rep in range(2):
+            os.environ["UNIMATCH_CONV_IM2COL"] = "0"
             res.setdefault(f"matmul_{tag}", []).append(round(time_chained(
                 via_matmul, x, k, n=20,
                 min_warmup_s=5 if rep == 0 else 0) * 1e3, 2))
+            os.environ["UNIMATCH_CONV_IM2COL"] = "1"
+            res.setdefault(f"im2col_{tag}", []).append(round(time_chained(
+                via_im2col, x, k, n=20, warmup=2) * 1e3, 2))
+            os.environ["UNIMATCH_CONV_IM2COL"] = "0"
             res.setdefault(f"laxconv_{tag}", []).append(round(time_chained(
                 via_laxconv, x, k, n=20, warmup=2) * 1e3, 2))
     emit(part="conv_form_probe", **res)
+
+    # whole-backbone A/B: im2col interior convs vs tap partials
+    from unimatch_tpu.models.backbone import CNNEncoder
+
+    img = jnp.asarray(np.random.RandomState(3).rand(2, 448, 1024, 3) * 255, jnp.bfloat16)
+    bb = CNNEncoder(output_dim=128, num_output_scales=2)
+    os.environ["UNIMATCH_CONV_IM2COL"] = "0"
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bb.init(jax.random.PRNGKey(0), img))
+
+    def mkb(tag):
+        def fwd(p, a):
+            return bb.apply(p, a)
+
+        fwd.__name__ += tag
+        return fwd
+
+    ba, bc = mkb("_im2col"), mkb("_taps")
+    res2 = {}
+    for rep in range(2):
+        os.environ["UNIMATCH_CONV_IM2COL"] = "1"
+        res2.setdefault("im2col_ms", []).append(round(time_chained(
+            ba, pb, img, n=12, min_warmup_s=5 if rep == 0 else 0) * 1e3, 2))
+        os.environ["UNIMATCH_CONV_IM2COL"] = "0"
+        res2.setdefault("taps_ms", []).append(round(time_chained(
+            bc, pb, img, n=12, warmup=2) * 1e3, 2))
+    emit(part="backbone_im2col_ab", **res2)
 
 
 def stage_depth_ffn():

@@ -9,6 +9,7 @@ Numeric conventions chosen for checkpoint parity with the torch reference:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -84,6 +85,24 @@ def conv_via_matmul(
 
     if sh == 1 and sw == 1:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        if (
+            cin >= 64
+            and kh * kw > 1
+            and os.environ.get("UNIMATCH_CONV_IM2COL", "0") != "0"
+        ):
+            # im2col form (A/B lever): one [N, K*Cin] x [K*Cin, Cout] dot.
+            # The shifted-matmul form below writes+reads K f32 [N, Cout]
+            # tap partials (~2x the traffic of the bf16 concat when
+            # Cout >= Cin); the stem's sub-128-channel version of this
+            # measured 4x SLOWER (lane padding) — hence the cin gate.
+            cols = jnp.concatenate(
+                [xp[:, u : u + oh, v : v + ow, :] for u in range(kh) for v in range(kw)],
+                axis=-1,
+            )
+            return jnp.einsum(
+                "bhwc,co->bhwo", cols, kernel.reshape(kh * kw * cin, cout),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
         acc = None
         for u in range(kh):
             for v in range(kw):
