@@ -350,6 +350,60 @@ def stage_conv_form_probe():
     emit(part="backbone_im2col_ab", **res2)
 
 
+def stage_combined_winners():
+    """Re-measure the full flagship forward with every lever that WON its
+    individual A/B enabled together (interactions are real: pallas_call is
+    a fusion barrier — see the banded-conv lesson in docs/PERF_NOTES.md)."""
+    results = {}
+    with open(OUT) as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+                results[d.get("part", "")] = d
+            except Exception:  # noqa: BLE001
+                pass
+
+    def won(part, a_key, b_key):
+        d = results.get(part)
+        if not d or a_key not in d or b_key not in d:
+            return False
+        return min(d[a_key]) < min(d[b_key])
+
+    flags = {
+        "UNIMATCH_FUSE_MOTION": "1" if won("forward_motion_ab", "motion_ms", "xla_ms") else "0",
+        "UNIMATCH_SWIN_SPATIAL": "1" if won("swin_spatial_forward_ab", "spatial_ms", "split_ms") else "0",
+        "UNIMATCH_CONV_IM2COL": "1" if won("backbone_im2col_ab", "im2col_ms", "taps_ms") else "0",
+    }
+    if won("forward_motion_ab", "motion_conv_ms", "motion_ms") and flags["UNIMATCH_FUSE_MOTION"] == "1":
+        flags["UNIMATCH_FUSE_CONV"] = "1"
+    for k, v in flags.items():
+        os.environ[k] = v
+
+    from unimatch_tpu import config as cfgs
+    from unimatch_tpu.models.unimatch import UniMatch
+
+    cfg, infer = cfgs.GMFLOW_SCALE2_REGREFINE6
+    model = UniMatch(config=cfg)
+    img0 = jnp.asarray(np.random.RandomState(1).rand(1, 448, 1024, 3) * 255, jnp.bfloat16)
+    img1 = jnp.asarray(np.random.RandomState(2).rand(1, 448, 1024, 3) * 255, jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    def fwd_combined(p, a, b):
+        return model.apply(p, a, b, infer=infer)["flow_preds"][-1]
+
+    ms = [round(time_chained(
+        fwd_combined, params, img0, img1, n=12,
+        min_warmup_s=8 if i == 0 else 0) * 1e3, 1) for i in range(4)]
+    emit(part="combined_winners", flags=flags, ms=ms,
+         best_pairs_per_sec=round(1000.0 / min(ms), 2),
+         median_ms=sorted(ms)[len(ms) // 2])
+    for k in flags:
+        os.environ[k] = "0"
+
+
 def stage_depth_ffn():
     import subprocess
 
@@ -369,5 +423,6 @@ if __name__ == "__main__":
     guarded(stage_forward_ab)
     guarded(stage_swin_spatial)
     guarded(stage_conv_form_probe)
+    guarded(stage_combined_winners)
     guarded(stage_depth_ffn)
     emit(part="session", status="complete", end=time.strftime("%H:%M:%S"))
