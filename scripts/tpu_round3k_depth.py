@@ -140,8 +140,43 @@ def stage_depth_swin_ab():
     emit(part="depth_swin_ab", **res)
 
 
+def stage_stereo_swin_ab():
+    """Full GMStereo-scale2-regrefine3 forward: UNIMATCH_SWIN_SPATIAL arms
+    (self-attention layers are swin-2D; cross layers stay swin-1D)."""
+    from unimatch_tpu import config as cfgs
+    from unimatch_tpu.models.unimatch import UniMatch
+
+    cfg, infer = cfgs.GMSTEREO_SCALE2_REGREFINE3
+    model = UniMatch(config=cfg)
+    img0 = jnp.asarray(np.random.RandomState(1).rand(1, 384, 1248, 3) * 255, jnp.bfloat16)
+    img1 = jnp.asarray(np.random.RandomState(2).rand(1, 384, 1248, 3) * 255, jnp.bfloat16)
+    os.environ["UNIMATCH_SWIN_SPATIAL"] = "0"
+    p = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p)
+
+    def mk(tag):
+        def fwd(pp, a, b):
+            return model.apply(pp, a, b, infer=infer)["flow_preds"][-1]
+
+        fwd.__name__ += tag
+        return fwd
+
+    fa, fb = mk("_spatial"), mk("_split")
+    res = {}
+    for rep in range(3):
+        os.environ["UNIMATCH_SWIN_SPATIAL"] = "1"
+        res.setdefault("spatial_ms", []).append(round(time_chained(
+            fa, p, img0, img1, n=12, min_warmup_s=8 if rep == 0 else 0) * 1e3, 1))
+        os.environ["UNIMATCH_SWIN_SPATIAL"] = "0"
+        res.setdefault("split_ms", []).append(round(time_chained(
+            fb, p, img0, img1, n=12, warmup=2) * 1e3, 1))
+    os.environ["UNIMATCH_SWIN_SPATIAL"] = "0"
+    emit(part="stereo_swin_ab", **res)
+
+
 if __name__ == "__main__":
     emit(part="session", backend=jax.default_backend(), start=time.strftime("%H:%M:%S"))
     guarded(stage_depth_stages)
     guarded(stage_depth_swin_ab)
+    guarded(stage_stereo_swin_ab)
     emit(part="session", status="complete", end=time.strftime("%H:%M:%S"))
