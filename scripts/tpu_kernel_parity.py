@@ -106,12 +106,77 @@ def check_window_attention(results):
                                 note, ek, et))
 
 
+def check_swin_spatial(results):
+    """Fused spatial layer kernel (projection + window attention + merge +
+    LayerNorm [+ residual]) vs fp64 ground truth of the same math."""
+    from unimatch_tpu.kernels.window_attention import (
+        _swin_spatial_impl, _swin_spatial_reference,
+    )
+    from unimatch_tpu.ops import windows as W
+
+    rng = np.random.RandomState(2)
+    # bench scale-1 (112x256, splits 8 -> 14x32 single-block windows) and
+    # scale-0 (56x128, splits 2 -> 28x64=1792 row-sub-blocked windows)
+    for h, w, ns, note in [(112, 256, 8, "bench scale-1 single-block"),
+                           (56, 128, 2, "bench scale-0 row-sub-blocked")]:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            for cross in (False, True):
+                c = 128
+                src = jnp.asarray(rng.randn(2, h, w, c) * 0.5, dtype)
+                tgt = jnp.asarray(rng.randn(2, h, w, c) * 0.5, dtype)
+                wqkv = jnp.asarray(rng.randn(c, 3 * c) * 0.08, dtype)
+                wm = jnp.asarray(rng.randn(c, c) * 0.08, dtype)
+                gamma = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+                beta = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+                fuse_res = not cross
+                if cross:
+                    args = (src, tgt, wqkv[:, :c], wqkv[:, c:], None, wm, gamma, beta, ns)
+                else:
+                    args = (src, None, wqkv, None, None, wm, gamma, beta, ns)
+
+                # fp64 ground truth from dtype-rounded inputs
+                s64 = np.asarray(src, np.float64)
+                t64 = np.asarray(tgt if cross else src, np.float64)
+                w64 = np.asarray(wqkv, np.float64)
+                q64 = s64 @ w64[:, :c]
+                k64 = t64 @ w64[:, c : 2 * c]
+                v64 = t64 @ w64[:, 2 * c :]
+
+                def win64(x):
+                    b = x.shape[0]
+                    return np.asarray(
+                        W.split_feature(jnp.asarray(x), ns)
+                    ).reshape(b * ns * ns, (h // ns) * (w // ns), c)
+
+                qs, ks, vs = win64(q64), win64(k64), win64(v64)
+                sc = np.einsum("nlc,nmc->nlm", qs, ks) / np.sqrt(float(c))
+                o = np.einsum("nlm,nmc->nlc", _softmax_np64(sc), vs)
+                o = np.asarray(
+                    W.merge_splits(jnp.asarray(o.reshape(-1, h // ns, w // ns, c)), ns)
+                )
+                y = o @ np.asarray(wm, np.float64)
+                mean = y.mean(-1, keepdims=True)
+                var = ((y - mean) ** 2).mean(-1, keepdims=True)
+                y = (y - mean) / np.sqrt(var + 1e-5)
+                truth = y * np.asarray(gamma, np.float64) + np.asarray(beta, np.float64)
+                if fuse_res:
+                    truth = truth + s64
+
+                out = _swin_spatial_impl(*args, fuse_res=fuse_res)
+                twin = _swin_spatial_reference(*args, fuse_res=fuse_res)
+                ek, et = _err(out, truth), _err(twin, truth)
+                results.append(("swin_spatial_layer",
+                                f"{h}x{w} ns={ns} {dtype.__name__} cross={cross}",
+                                note, ek, et))
+
+
 def main():
     assert jax.default_backend() == "tpu", f"needs a TPU, got {jax.default_backend()}"
     dev = jax.devices()[0]
     results = []
     check_attention_expectation(results)
     check_window_attention(results)
+    check_swin_spatial(results)
 
     print(f"\n# On-TPU Pallas kernel parity ({dev.device_kind})\n")
     print("Errors are max-abs vs fp64 numpy ground truth; 'ok' = kernel error")
