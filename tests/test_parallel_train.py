@@ -145,3 +145,28 @@ def test_tensor_parallel_ffn_sharding(rng):
 
         out = fwd(sharded, img_s, img_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_train_step_8dev_swin_spatial(rng, monkeypatch):
+    """DP train step with the fused spatial swin path enabled: the
+    custom_vjp twin differentiates under pjit and matches single-device."""
+    monkeypatch.setenv("UNIMATCH_SWIN_SPATIAL", "1")
+    cfg = ModelConfig(task="flow", num_scales=1)
+    infer = InferenceConfig(attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,))
+    model = UniMatch(config=cfg)
+    batch = _flow_batch(rng, 8, 32, 48)
+
+    state0 = create_train_state(model, jax.random.PRNGKey(0), batch, infer)
+    step_1 = make_train_step(model, infer)
+    state_1, m1 = step_1(state0, jax.tree.map(jnp.asarray, batch))
+
+    state0b = create_train_state(model, jax.random.PRNGKey(0), batch, infer)
+    mesh = make_mesh(jax.devices())
+    with mesh:
+        sbatch = shard_batch(mesh, batch)
+        step_8 = make_train_step(model, infer, mesh=mesh)
+        state_8, m8 = step_8(state0b, sbatch)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(state_1.params), jax.tree.leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
