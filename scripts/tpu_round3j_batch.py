@@ -350,6 +350,75 @@ def stage_conv_form_probe():
     emit(part="backbone_im2col_ab", **res2)
 
 
+def stage_local_corr():
+    """Fused streaming-softmax local correlation: parity + isolated A/B at
+    the flagship s1 shape + full-forward A/B."""
+    import unimatch_tpu.ops.correlation as C
+
+    f0 = bf(1, 112, 256, 128)
+    f1 = bf(1, 112, 256, 128)
+
+    os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "1"
+    a = jax.jit(lambda: C.local_correlation_softmax_flow(f0, f1, 4))()
+    os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "0"
+    b = jax.jit(lambda: C.local_correlation_softmax_flow(f0, f1, 4))()
+    emit(part="local_corr_parity",
+         max_abs_diff=float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()),
+         ref_absmax=float(jnp.abs(b.astype(jnp.float32)).max()))
+
+    def mk(tag):
+        def fn(x, y):
+            return C.local_correlation_softmax_flow(x, y, 4)
+
+        fn.__name__ += tag
+        return fn
+
+    fa, fb = mk("_fused"), mk("_xla")
+    res = {}
+    for rep in range(2):
+        os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "1"
+        res.setdefault("fused_ms", []).append(round(time_chained(
+            fa, f0, f1, n=16, min_warmup_s=5 if rep == 0 else 0) * 1e3, 2))
+        os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "0"
+        res.setdefault("xla_ms", []).append(round(time_chained(
+            fb, f0, f1, n=16, warmup=2) * 1e3, 2))
+    emit(part="local_corr_isolated_ab", **res)
+
+    from unimatch_tpu import config as cfgs
+    from unimatch_tpu.models.unimatch import UniMatch
+
+    cfg, infer = cfgs.GMFLOW_SCALE2_REGREFINE6
+    model = UniMatch(config=cfg)
+    img0 = jnp.asarray(np.random.RandomState(1).rand(1, 448, 1024, 3) * 255, jnp.bfloat16)
+    img1 = jnp.asarray(np.random.RandomState(2).rand(1, 448, 1024, 3) * 255, jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+
+    def mkf(tag):
+        def fwd(p, x, y):
+            return model.apply(p, x, y, infer=infer)["flow_preds"][-1]
+
+        fwd.__name__ += tag
+        return fwd
+
+    ga, gb = mkf("_lcfused"), mkf("_lcxla")
+    res = {}
+    for rep in range(3):
+        os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "1"
+        res.setdefault("fused_ms", []).append(round(time_chained(
+            ga, params, img0, img1, n=12,
+            min_warmup_s=8 if rep == 0 else 0) * 1e3, 1))
+        os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "0"
+        res.setdefault("xla_ms", []).append(round(time_chained(
+            gb, params, img0, img1, n=12, warmup=1) * 1e3, 1))
+    os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "0"
+    emit(part="local_corr_forward_ab", **res,
+         fused_best_pairs_per_sec=round(1000.0 / min(res["fused_ms"]), 2),
+         xla_best_pairs_per_sec=round(1000.0 / min(res["xla_ms"]), 2))
+
+
 def stage_combined_winners():
     """Re-measure the full flagship forward with every lever that WON its
     individual A/B enabled together (interactions are real: pallas_call is
@@ -373,6 +442,7 @@ def stage_combined_winners():
         "UNIMATCH_FUSE_MOTION": "1" if won("forward_motion_ab", "motion_ms", "xla_ms") else "0",
         "UNIMATCH_SWIN_SPATIAL": "1" if won("swin_spatial_forward_ab", "spatial_ms", "split_ms") else "0",
         "UNIMATCH_CONV_IM2COL": "1" if won("backbone_im2col_ab", "im2col_ms", "taps_ms") else "0",
+        "UNIMATCH_FUSE_LOCAL_CORR": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",
     }
     if won("forward_motion_ab", "motion_conv_ms", "motion_ms") and flags["UNIMATCH_FUSE_MOTION"] == "1":
         flags["UNIMATCH_FUSE_CONV"] = "1"
@@ -423,6 +493,7 @@ if __name__ == "__main__":
     guarded(stage_forward_ab)
     guarded(stage_swin_spatial)
     guarded(stage_conv_form_probe)
+    guarded(stage_local_corr)
     guarded(stage_combined_winners)
     guarded(stage_depth_ffn)
     emit(part="session", status="complete", end=time.strftime("%H:%M:%S"))

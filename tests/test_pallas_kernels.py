@@ -331,3 +331,20 @@ def test_motion_encoder_module_fused_dispatch(rng, monkeypatch):
     assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(lambda a: a.shape, params2)
     got = enc.apply(params, flow, corr)[0].astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)
+
+
+def test_local_corr_flow_kernel_matches_reference(rng):
+    """Fused streaming-softmax local correlation (interpret) == the flow
+    half of local_correlation_softmax, including border masking and
+    non-multiple-of-band heights."""
+    from unimatch_tpu.kernels.local_corr import (
+        _local_corr_flow_impl, _reference_flow,
+    )
+
+    for shape in [(1, 16, 24, 32), (2, 10, 20, 32)]:
+        b, h, w, c = shape
+        f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        got = _local_corr_flow_impl(f0, f1, 4, interpret=True)
+        ref = _reference_flow(f0, f1, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

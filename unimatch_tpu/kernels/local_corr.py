@@ -1,0 +1,142 @@
+"""Fused local-correlation softmax-expectation Pallas kernel.
+
+The scale-1 local matching step (reference matching.py:39-83;
+ops/correlation.py::local_correlation_softmax) computes a (2R+1)^2-offset
+window correlation and immediately reduces it to an expected flow — the
+model discards the probability output (models/unimatch.py:236). The XLA
+form materializes extract_patches [B, H, W, K*K, C] (~594 MB at the
+flagship scale-1 shape) plus an f32 [B, H, W, 81] softmax round-trip:
+~1.2 GB of HBM traffic for a 4.6 MB result.
+
+This kernel streams the 81 offsets with an online (flash-style) softmax —
+running max / sum / expectation accumulators over [T, W] row bands — so
+HBM traffic is one read of f0, ~1.15 reads of f1 (the XLA-side banding
+copy), and the two [B, H, W] flow planes out. Offsets outside the image
+are masked to -1e9 exactly like the reference; zero-padding of f1
+contributes nothing because those offsets are masked, not read as zeros.
+
+Backward runs the jnp twin's vjp (pallas_call has no autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, r: int, h: int, w: int,
+            t: int, scale: float):
+    f0 = f0_ref[0].astype(jnp.float32)  # [T, W, C]
+    band = f1b_ref[0, 0]  # [T+2r, Wpad, C]
+    k = 2 * r + 1
+
+    row0 = pl.program_id(1) * t
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+
+    neg = jnp.float32(-1e9)
+    m = jnp.full((t, w), -jnp.inf, jnp.float32)
+    s = jnp.zeros((t, w), jnp.float32)
+    fx = jnp.zeros((t, w), jnp.float32)
+    fy = jnp.zeros((t, w), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            f1s = band[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
+            ck = jnp.sum(f0 * f1s, axis=-1) * scale  # [T, W]
+            valid = (
+                (rows + (dy - r) >= 0) & (rows + (dy - r) < h)
+                & (cols + (dx - r) >= 0) & (cols + (dx - r) < w)
+            )
+            ck = jnp.where(valid, ck, neg)
+            mn = jnp.maximum(m, ck)
+            rescale = jnp.exp(m - mn)
+            p = jnp.exp(ck - mn)
+            s = s * rescale + p
+            fx = fx * rescale + p * jnp.float32(dx - r)
+            fy = fy * rescale + p * jnp.float32(dy - r)
+            m = mn
+    fx_ref[0] = fx / s
+    fy_ref[0] = fy / s
+
+
+@functools.partial(jax.jit, static_argnames=("local_radius", "t", "interpret"))
+def _local_corr_flow_impl(f0, f1, local_radius, t=8, interpret=False):
+    b, h, w, c = f0.shape
+    r = local_radius
+    hp = -(-h // t) * t
+    wpad = -(-(w + 2 * r) // 8) * 8
+    nb = hp // t
+
+    f0p = jnp.pad(f0, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    f1p = jnp.pad(f1, ((0, 0), (r, hp - h + r), (r, wpad - w - r), (0, 0)))
+    # overlapping row bands cannot be expressed as disjoint BlockSpec
+    # blocks — materialize them XLA-side (the same trick as
+    # kernels/gru_fused.py): ~(T+2r)/T x one extra copy of f1
+    f1b = jnp.stack([f1p[:, i * t : i * t + t + 2 * r] for i in range(nb)], axis=1)
+
+    scale = 1.0 / (c**0.5)
+    fx, fy = pl.pallas_call(
+        functools.partial(_kernel, r=r, h=h, w=w, t=t, scale=scale),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, t, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t + 2 * r, wpad, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f0p, f1b)
+    return jnp.stack([fx[:, :h], fy[:, :h]], axis=-1)
+
+
+def _reference_flow(f0, f1, local_radius):
+    """jnp twin: the flow half of ops.correlation.local_correlation_softmax."""
+    from unimatch_tpu.ops.correlation import local_correlation_softmax
+
+    flow, _ = local_correlation_softmax(f0, f1, local_radius)
+    return flow.astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _with_vjp(local_radius: int):
+    @jax.custom_vjp
+    def f(f0, f1):
+        return _local_corr_flow_impl(f0, f1, local_radius)
+
+    def fwd(f0, f1):
+        return f(f0, f1), (f0, f1)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda a, b_: _reference_flow(a, b_, local_radius), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def local_corr_softmax_flow(f0: jnp.ndarray, f1: jnp.ndarray,
+                            local_radius: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Expected local flow: softmax((2R+1)^2-window correlation) · offsets.
+
+    f0, f1: [B, H, W, C] -> flow [B, H, W, 2] (f32; cast by the caller).
+    Same values as local_correlation_softmax(...)[0] up to f32 summation
+    order (online vs two-pass softmax). Falls back to the jnp twin on CPU.
+    """
+    if interpret:
+        return _local_corr_flow_impl(f0, f1, local_radius, interpret=True)
+    if jax.default_backend() == "cpu":
+        return _reference_flow(f0, f1, local_radius)
+    return _with_vjp(local_radius)(f0, f1)

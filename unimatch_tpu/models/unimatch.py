@@ -233,7 +233,7 @@ class UniMatch(nn.Module):
                     flow_pred = C.global_correlation_softmax_stereo(feature0, feature1)[0]
             else:  # local matching
                 if task == "flow":
-                    flow_pred = C.local_correlation_softmax(feature0, feature1, corr_radius)[0]
+                    flow_pred = C.local_correlation_softmax_flow(feature0, feature1, corr_radius)
                 else:
                     flow_pred = C.local_correlation_softmax_stereo(feature0, feature1, corr_radius)[0]
 

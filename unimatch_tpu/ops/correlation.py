@@ -138,6 +138,27 @@ def local_correlation_softmax(
     return flow.astype(feature0.dtype), prob
 
 
+def local_correlation_softmax_flow(
+    feature0: jnp.ndarray, feature1: jnp.ndarray, local_radius: int
+) -> jnp.ndarray:
+    """Flow-only local matching — what the model actually consumes
+    (models/unimatch.py discards the prob output). Dispatches to the fused
+    streaming-softmax kernel (kernels/local_corr.py) on TPU: the XLA form's
+    extract_patches materializes [B, H, W, K*K, C] (~594 MB at the flagship
+    scale-1 shape) for a 4.6 MB result. UNIMATCH_FUSE_LOCAL_CORR gates the
+    kernel (off until measured on chip)."""
+    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR", "0") != "0":
+        from unimatch_tpu.kernels import use_pallas
+
+        if use_pallas():
+            from unimatch_tpu.kernels.local_corr import local_corr_softmax_flow
+
+            return local_corr_softmax_flow(
+                feature0, feature1, local_radius
+            ).astype(feature0.dtype)
+    return local_correlation_softmax(feature0, feature1, local_radius)[0]
+
+
 def local_correlation_with_flow(
     feature0: jnp.ndarray,
     feature1: jnp.ndarray,
