@@ -348,3 +348,20 @@ def test_local_corr_flow_kernel_matches_reference(rng):
         got = _local_corr_flow_impl(f0, f1, 4, interpret=True)
         ref = _reference_flow(f0, f1, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_local_window_propagation_kernel_matches_reference(rng):
+    """Streaming local propagation (interpret) == the extract_patches form,
+    zero-pad unfold semantics (no border masking), Cf in {1, 2}."""
+    from unimatch_tpu.kernels.local_corr import (
+        _local_prop_impl, _reference_prop,
+    )
+
+    for cf in (1, 2):
+        b, h, w, c = 1, 10, 20, 32
+        q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, h, w, cf).astype(np.float32) * 3)
+        got = _local_prop_impl(q, k, v, 1, interpret=True)
+        ref = _reference_prop(q, k, v, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -101,6 +101,118 @@ def _local_corr_flow_impl(f0, f1, local_radius, t=8, interpret=False):
     return jnp.stack([fx[:, :h], fy[:, :h]], axis=-1)
 
 
+def _prop_kernel(q_ref, kb_ref, vb_ref, o_ref, *, r: int, t: int, w: int,
+                 scale: float, cf: int):
+    """Local window propagation: softmax(q . k_shifted) expectation over the
+    SHIFTED value (flow) field. No border masking — the reference's
+    F.unfold zero-pads, so out-of-image taps participate with score q.0 = 0
+    and value 0 (attention.py:220-253), which the zero-padded bands
+    reproduce exactly."""
+    q = q_ref[0].astype(jnp.float32)  # [T, W, C]
+    kb = kb_ref[0, 0]  # [T+2r, Wpad, C]
+    vb = vb_ref[0, 0]  # [T+2r, Wpad, Cf]
+    k = 2 * r + 1
+
+    m = jnp.full((t, w), -jnp.inf, jnp.float32)
+    s = jnp.zeros((t, w), jnp.float32)
+    acc = [jnp.zeros((t, w), jnp.float32) for _ in range(cf)]
+    for dy in range(k):
+        for dx in range(k):
+            ks = kb[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
+            ck = jnp.sum(q * ks, axis=-1) * scale  # [T, W]
+            mn = jnp.maximum(m, ck)
+            rescale = jnp.exp(m - mn)
+            p = jnp.exp(ck - mn)
+            s = s * rescale + p
+            vs = vb[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
+            for f in range(cf):
+                acc[f] = acc[f] * rescale + p * vs[:, :, f]
+            m = mn
+    for f in range(cf):
+        o_ref[f, 0] = acc[f] / s
+
+
+@functools.partial(jax.jit, static_argnames=("local_radius", "t", "interpret"))
+def _local_prop_impl(query, key, value, local_radius, t=8, interpret=False):
+    b, h, w, c = query.shape
+    cf = value.shape[-1]
+    r = local_radius
+    hp = -(-h // t) * t
+    wpad = -(-(w + 2 * r) // 8) * 8
+    nb = hp // t
+
+    qp = jnp.pad(query, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    kp = jnp.pad(key, ((0, 0), (r, hp - h + r), (r, wpad - w - r), (0, 0)))
+    vp = jnp.pad(value, ((0, 0), (r, hp - h + r), (r, wpad - w - r), (0, 0)))
+    kb = jnp.stack([kp[:, i * t : i * t + t + 2 * r] for i in range(nb)], axis=1)
+    vb = jnp.stack([vp[:, i * t : i * t + t + 2 * r] for i in range(nb)], axis=1)
+
+    scale = 1.0 / (c**0.5)
+    out = pl.pallas_call(
+        functools.partial(_prop_kernel, r=r, t=t, w=w, scale=scale, cf=cf),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, t, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t + 2 * r, wpad, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t + 2 * r, wpad, cf), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cf, 1, t, w), lambda i, j: (0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cf, b, hp, w), jnp.float32),
+        interpret=interpret,
+    )(qp, kb, vb)
+    return jnp.moveaxis(out[:, :, :h], 0, -1)  # [B, H, W, Cf]
+
+
+def _reference_prop(query, key, value, local_radius):
+    """jnp twin: the local branch of SelfAttnPropagation (zero-pad unfold)."""
+    from unimatch_tpu.ops.upsample import extract_patches
+
+    c = query.shape[-1]
+    k = 2 * local_radius + 1
+    key_patches = extract_patches(key, k, local_radius)
+    val_patches = extract_patches(value, k, local_radius)
+    scores = jnp.einsum(
+        "bhwnc,bhwc->bhwn", key_patches, query, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))
+    prob = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhwn,bhwnf->bhwf", prob,
+                      val_patches.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _prop_with_vjp(local_radius: int):
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _local_prop_impl(q, k, v, local_radius)
+
+    def fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda a, b_, c_: _reference_prop(a, b_, c_, local_radius), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def local_window_propagation(query: jnp.ndarray, key: jnp.ndarray,
+                             value: jnp.ndarray, local_radius: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Local self-attention propagation: [B, H, W, C] q/k, [B, H, W, Cf]
+    value -> [B, H, W, Cf] f32 (cast by the caller). Same values as the
+    extract_patches form up to f32 summation order."""
+    if interpret:
+        return _local_prop_impl(query, key, value, local_radius, interpret=True)
+    if jax.default_backend() == "cpu":
+        return _reference_prop(query, key, value, local_radius)
+    return _prop_with_vjp(local_radius)(query, key, value)
+
+
 def _reference_flow(f0, f1, local_radius):
     """jnp twin: the flow half of ops.correlation.local_correlation_softmax."""
     from unimatch_tpu.ops.correlation import local_correlation_softmax
