@@ -365,3 +365,18 @@ def test_local_window_propagation_kernel_matches_reference(rng):
         got = _local_prop_impl(q, k, v, 1, interpret=True)
         ref = _reference_prop(q, k, v, 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_local_corr_disp_kernel_matches_reference(rng):
+    """1-D (stereo) streaming local correlation (interpret) == the disparity
+    half of local_correlation_softmax_stereo."""
+    from unimatch_tpu.kernels.local_corr import (
+        _local_corr_flow_impl, _reference_disp,
+    )
+
+    b, h, w, c = 1, 12, 24, 32
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    got = -_local_corr_flow_impl(f0, f1, 0, 4, interpret=True)[..., :1]
+    ref = _reference_disp(f0, f1, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -28,11 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, r: int, h: int, w: int,
-            t: int, scale: float):
+def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, ry: int, rx: int, h: int,
+            w: int, t: int, scale: float):
     f0 = f0_ref[0].astype(jnp.float32)  # [T, W, C]
-    band = f1b_ref[0, 0]  # [T+2r, Wpad, C]
-    k = 2 * r + 1
+    band = f1b_ref[0, 0]  # [T+2ry, Wpad, C]
 
     row0 = pl.program_id(1) * t
     rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, w), 0)
@@ -43,49 +42,50 @@ def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, r: int, h: int, w: int,
     s = jnp.zeros((t, w), jnp.float32)
     fx = jnp.zeros((t, w), jnp.float32)
     fy = jnp.zeros((t, w), jnp.float32)
-    for dy in range(k):
-        for dx in range(k):
+    for dy in range(2 * ry + 1):
+        for dx in range(2 * rx + 1):
             f1s = band[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
             ck = jnp.sum(f0 * f1s, axis=-1) * scale  # [T, W]
             valid = (
-                (rows + (dy - r) >= 0) & (rows + (dy - r) < h)
-                & (cols + (dx - r) >= 0) & (cols + (dx - r) < w)
+                (rows + (dy - ry) >= 0) & (rows + (dy - ry) < h)
+                & (cols + (dx - rx) >= 0) & (cols + (dx - rx) < w)
             )
             ck = jnp.where(valid, ck, neg)
             mn = jnp.maximum(m, ck)
             rescale = jnp.exp(m - mn)
             p = jnp.exp(ck - mn)
             s = s * rescale + p
-            fx = fx * rescale + p * jnp.float32(dx - r)
-            fy = fy * rescale + p * jnp.float32(dy - r)
+            fx = fx * rescale + p * jnp.float32(dx - rx)
+            fy = fy * rescale + p * jnp.float32(dy - ry)
             m = mn
     fx_ref[0] = fx / s
     fy_ref[0] = fy / s
 
 
-@functools.partial(jax.jit, static_argnames=("local_radius", "t", "interpret"))
-def _local_corr_flow_impl(f0, f1, local_radius, t=8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("ry", "rx", "t", "interpret"))
+def _local_corr_flow_impl(f0, f1, ry, rx=None, t=8, interpret=False):
+    if rx is None:
+        rx = ry
     b, h, w, c = f0.shape
-    r = local_radius
     hp = -(-h // t) * t
-    wpad = -(-(w + 2 * r) // 8) * 8
+    wpad = -(-(w + 2 * rx) // 8) * 8
     nb = hp // t
 
     f0p = jnp.pad(f0, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    f1p = jnp.pad(f1, ((0, 0), (r, hp - h + r), (r, wpad - w - r), (0, 0)))
+    f1p = jnp.pad(f1, ((0, 0), (ry, hp - h + ry), (rx, wpad - w - rx), (0, 0)))
     # overlapping row bands cannot be expressed as disjoint BlockSpec
     # blocks — materialize them XLA-side (the same trick as
-    # kernels/gru_fused.py): ~(T+2r)/T x one extra copy of f1
-    f1b = jnp.stack([f1p[:, i * t : i * t + t + 2 * r] for i in range(nb)], axis=1)
+    # kernels/gru_fused.py): ~(T+2ry)/T x one extra copy of f1
+    f1b = jnp.stack([f1p[:, i * t : i * t + t + 2 * ry] for i in range(nb)], axis=1)
 
     scale = 1.0 / (c**0.5)
     fx, fy = pl.pallas_call(
-        functools.partial(_kernel, r=r, h=h, w=w, t=t, scale=scale),
+        functools.partial(_kernel, ry=ry, rx=rx, h=h, w=w, t=t, scale=scale),
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, t, w, c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t + 2 * r, wpad, c), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, t + 2 * ry, wpad, c), lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -252,3 +252,42 @@ def local_corr_softmax_flow(f0: jnp.ndarray, f1: jnp.ndarray,
     if jax.default_backend() == "cpu":
         return _reference_flow(f0, f1, local_radius)
     return _with_vjp(local_radius)(f0, f1)
+
+
+def _reference_disp(f0, f1, local_radius):
+    """jnp twin: the disparity half of local_correlation_softmax_stereo."""
+    from unimatch_tpu.ops.correlation import local_correlation_softmax_stereo
+
+    disp, _ = local_correlation_softmax_stereo(f0, f1, local_radius)
+    return disp.astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _stereo_with_vjp(local_radius: int):
+    @jax.custom_vjp
+    def f(f0, f1):
+        # 1-D horizontal window: ry=0; disparity = -E[offset_x]
+        return -_local_corr_flow_impl(f0, f1, 0, local_radius)[..., :1]
+
+    def fwd(f0, f1):
+        return f(f0, f1), (f0, f1)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda a, b_: _reference_disp(a, b_, local_radius), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def local_corr_softmax_disp(f0: jnp.ndarray, f1: jnp.ndarray,
+                            local_radius: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Expected local disparity: the 1-D (horizontal) window variant for
+    stereo — same values as local_correlation_softmax_stereo(...)[0] up to
+    f32 summation order. [B, H, W, C] -> [B, H, W, 1] f32."""
+    if interpret:
+        return -_local_corr_flow_impl(f0, f1, 0, local_radius, interpret=True)[..., :1]
+    if jax.default_backend() == "cpu":
+        return _reference_disp(f0, f1, local_radius)
+    return _stereo_with_vjp(local_radius)(f0, f1)

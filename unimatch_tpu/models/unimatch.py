@@ -235,7 +235,7 @@ class UniMatch(nn.Module):
                 if task == "flow":
                     flow_pred = C.local_correlation_softmax_flow(feature0, feature1, corr_radius)
                 else:
-                    flow_pred = C.local_correlation_softmax_stereo(feature0, feature1, corr_radius)[0]
+                    flow_pred = C.local_correlation_softmax_stereo_disp(feature0, feature1, corr_radius)
 
             flow = flow + flow_pred if flow is not None else flow_pred
 

@@ -607,6 +607,25 @@ def local_correlation_softmax_stereo(
     return (-flow_x).astype(feature0.dtype)[..., None], prob
 
 
+def local_correlation_softmax_stereo_disp(
+    feature0: jnp.ndarray, feature1: jnp.ndarray, local_radius: int
+) -> jnp.ndarray:
+    """Disparity-only 1-D local matching — what the model consumes
+    (models/unimatch.py discards the prob output). Dispatches to the fused
+    streaming-softmax kernel (kernels/local_corr.py, ry=0) behind
+    UNIMATCH_FUSE_LOCAL_CORR."""
+    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR", "0") != "0":
+        from unimatch_tpu.kernels import use_pallas
+
+        if use_pallas():
+            from unimatch_tpu.kernels.local_corr import local_corr_softmax_disp
+
+            return local_corr_softmax_disp(
+                feature0, feature1, local_radius
+            ).astype(feature0.dtype)
+    return local_correlation_softmax_stereo(feature0, feature1, local_radius)[0]
+
+
 def warp_with_pose_depth_candidates(
     feature1: jnp.ndarray,
     intrinsics: jnp.ndarray,
