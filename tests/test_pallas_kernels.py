@@ -380,3 +380,19 @@ def test_local_corr_disp_kernel_matches_reference(rng):
     got = -_local_corr_flow_impl(f0, f1, 0, 4, interpret=True)[..., :1]
     ref = _reference_disp(f0, f1, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_corr_volume_build_compact_unit_counts(rng):
+    """Build kernel (interpret) at the compact layout's unit counts: the
+    flagship's 120 units (bm=3840) and a tiny 8-unit case (bm=2048)."""
+    from unimatch_tpu.kernels.corr_volume import build_volume, _build_reference
+
+    for units in (8, 120):
+        m = units * 256
+        f0 = jnp.asarray(rng.randn(1, 64, 128).astype(np.float32))
+        f1b = jnp.asarray(rng.randn(1, m, 128).astype(np.float32))
+        got = build_volume(f0, f1b, out_dtype=jnp.float32, block_p=64, interpret=True)
+        ref = _build_reference(f0, f1b, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got[:, :64]), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
