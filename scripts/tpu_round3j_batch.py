@@ -408,15 +408,18 @@ def stage_local_corr():
     for rep in range(3):
         os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "1"
         os.environ["UNIMATCH_FUSE_LOCAL_PROP"] = "1"
+        os.environ["UNIMATCH_FUSE_UPSAMPLE"] = "1"
         res.setdefault("fused_ms", []).append(round(time_chained(
             ga, params, img0, img1, n=12,
             min_warmup_s=8 if rep == 0 else 0) * 1e3, 1))
         os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "0"
         os.environ["UNIMATCH_FUSE_LOCAL_PROP"] = "0"
+        os.environ["UNIMATCH_FUSE_UPSAMPLE"] = "0"
         res.setdefault("xla_ms", []).append(round(time_chained(
             gb, params, img0, img1, n=12, warmup=1) * 1e3, 1))
     os.environ["UNIMATCH_FUSE_LOCAL_CORR"] = "0"
     os.environ["UNIMATCH_FUSE_LOCAL_PROP"] = "0"
+    os.environ["UNIMATCH_FUSE_UPSAMPLE"] = "0"
     emit(part="local_corr_forward_ab", **res,
          fused_best_pairs_per_sec=round(1000.0 / min(res["fused_ms"]), 2),
          xla_best_pairs_per_sec=round(1000.0 / min(res["xla_ms"]), 2))
@@ -447,6 +450,7 @@ def stage_combined_winners():
         "UNIMATCH_CONV_IM2COL": "1" if won("backbone_im2col_ab", "im2col_ms", "taps_ms") else "0",
         "UNIMATCH_FUSE_LOCAL_CORR": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",
         "UNIMATCH_FUSE_LOCAL_PROP": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",
+        "UNIMATCH_FUSE_UPSAMPLE": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",
     }
     if won("forward_motion_ab", "motion_conv_ms", "motion_ms") and flags["UNIMATCH_FUSE_MOTION"] == "1":
         flags["UNIMATCH_FUSE_CONV"] = "1"

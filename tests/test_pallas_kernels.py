@@ -396,3 +396,16 @@ def test_corr_volume_build_compact_unit_counts(rng):
         np.testing.assert_allclose(
             np.asarray(got[:, :64]), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+def test_upsample_fused_kernel_matches_reference(rng):
+    """Fused convex upsample (interpret) == ops.upsample.upsample_with_mask,
+    flow and depth forms, non-multiple-of-band heights."""
+    from unimatch_tpu.kernels.upsample_fused import _upsample_impl, _reference
+
+    for (b, h, w, cf, k, is_depth) in [(1, 10, 12, 2, 8, False), (1, 8, 16, 1, 4, True)]:
+        flow = jnp.asarray(rng.randn(b, h, w, cf).astype(np.float32) * 2)
+        mask = jnp.asarray(rng.randn(b, h, w, 9 * k * k).astype(np.float32))
+        got = _upsample_impl(flow, mask, k, is_depth, interpret=True)
+        ref = _reference(flow, mask, k, is_depth)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)

@@ -37,7 +37,21 @@ def upsample_with_mask(
     flow: [B, H, W, C_f]; mask: [B, H, W, 9*K*K] (channel layout (9, Ky, Kx),
     '9' slowest — the layout produced by a conv head whose torch channel dim
     was 9*K*K). Returns [B, K*H, K*W, C_f]. Reference utils.py:134-152.
+
+    UNIMATCH_FUSE_UPSAMPLE dispatches the banded Pallas kernel
+    (kernels/upsample_fused.py): softmax + convex combination in VMEM
+    instead of the ~66 MB f32 mask-softmax round trip.
     """
+    import os
+
+    if os.environ.get("UNIMATCH_FUSE_UPSAMPLE", "0") != "0":
+        from unimatch_tpu.kernels import use_pallas
+
+        if use_pallas():
+            from unimatch_tpu.kernels.upsample_fused import upsample_with_mask_fused
+
+            return upsample_with_mask_fused(flow, mask, upsample_factor, is_depth)
+
     b, h, w, cf = flow.shape
     k = upsample_factor
     m = mask.reshape(b, h, w, 9, k, k)
