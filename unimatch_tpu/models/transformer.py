@@ -46,7 +46,7 @@ def _fuse_ffn() -> bool:
 
 def _swin_spatial() -> bool:
     """Route swin-2D window attention through the relayout-free spatial
-    kernel (ops/attention_ops.py::swin_attention_packed): the window
+    kernel (ops/attention_ops.py::swin_layer_attention): the window
     split/merge happens in BlockSpec index maps instead of HBM relayouts,
     and q/k/v stay packed on the channel axis end to end. Default OFF until
     measured on chip (UNIMATCH_SWIN_SPATIAL=1 enables)."""
