@@ -338,7 +338,7 @@ def stage_conv_form_probe():
         fwd.__name__ += tag
         return fwd
 
-    ba, bc = mkb("_im2col"), mkb("_taps")
+    ba, bc, bd = mkb("_im2col"), mkb("_taps"), mkb("_strided")
     res2 = {}
     for rep in range(2):
         os.environ["UNIMATCH_CONV_IM2COL"] = "1"
@@ -347,7 +347,25 @@ def stage_conv_form_probe():
         os.environ["UNIMATCH_CONV_IM2COL"] = "0"
         res2.setdefault("taps_ms", []).append(round(time_chained(
             bc, pb, img, n=12, warmup=2) * 1e3, 2))
+        os.environ["UNIMATCH_FUSE_STRIDED"] = "1"
+        res2.setdefault("strided_ms", []).append(round(time_chained(
+            bd, pb, img, n=12, warmup=2) * 1e3, 2))
+        os.environ["UNIMATCH_FUSE_STRIDED"] = "0"
     emit(part="backbone_im2col_ab", **res2)
+
+    # strided-conv kernel parity on chip (stem shape)
+    from unimatch_tpu.models.layers import conv_via_matmul
+
+    xi = jnp.asarray(np.random.RandomState(5).rand(1, 448, 1024, 3), jnp.bfloat16)
+    ks = bf(7, 7, 3, 64, scale=0.1)
+    os.environ["UNIMATCH_FUSE_STRIDED"] = "0"
+    r0 = jax.jit(lambda a, k: conv_via_matmul(a, k, (2, 2), (3, 3)))(xi, ks)
+    os.environ["UNIMATCH_FUSE_STRIDED"] = "1"
+    r1 = jax.jit(lambda a, k: conv_via_matmul(a, k, (2, 2), (3, 3)))(xi, ks)
+    os.environ["UNIMATCH_FUSE_STRIDED"] = "0"
+    emit(part="strided_conv_parity",
+         max_abs_diff=float(jnp.abs(r1.astype(jnp.float32) - r0.astype(jnp.float32)).max()),
+         ref_absmax=float(jnp.abs(r0.astype(jnp.float32)).max()))
 
 
 def stage_local_corr():
@@ -448,6 +466,7 @@ def stage_combined_winners():
         "UNIMATCH_FUSE_MOTION": "1" if won("forward_motion_ab", "motion_ms", "xla_ms") else "0",
         "UNIMATCH_SWIN_SPATIAL": "1" if won("swin_spatial_forward_ab", "spatial_ms", "split_ms") else "0",
         "UNIMATCH_CONV_IM2COL": "1" if won("backbone_im2col_ab", "im2col_ms", "taps_ms") else "0",
+        "UNIMATCH_FUSE_STRIDED": "1" if won("backbone_im2col_ab", "strided_ms", "taps_ms") else "0",
         "UNIMATCH_FUSE_LOCAL_CORR": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",
         "UNIMATCH_FUSE_LOCAL_PROP": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",
         "UNIMATCH_FUSE_UPSAMPLE": "1" if won("local_corr_forward_ab", "fused_ms", "xla_ms") else "0",

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 OUT = "/tmp/tpu_r3z_results.jsonl"
 FLAGS = ("UNIMATCH_FUSE_MOTION", "UNIMATCH_SWIN_SPATIAL",
          "UNIMATCH_FUSE_LOCAL_CORR", "UNIMATCH_FUSE_LOCAL_PROP",
-         "UNIMATCH_FUSE_UPSAMPLE")
+         "UNIMATCH_FUSE_UPSAMPLE", "UNIMATCH_FUSE_STRIDED")
 
 
 def emit(**kw):

@@ -409,3 +409,31 @@ def test_upsample_fused_kernel_matches_reference(rng):
         got = _upsample_impl(flow, mask, k, is_depth, interpret=True)
         ref = _reference(flow, mask, k, is_depth)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+def test_strided_conv_kernel_matches_conv(rng, monkeypatch):
+    """(a) The Pallas strided-conv kernel (interpret) == its jnp twin;
+    (b) the conv_via_matmul dispatch with UNIMATCH_FUSE_STRIDED=1 (which on
+    CPU routes the REAL xs/cells construction through the twin) == the
+    stock stride-2 branch — validating the cell/s2d mapping."""
+    from unimatch_tpu.models.layers import conv_via_matmul
+    from unimatch_tpu.kernels.strided_conv import _strided_conv_impl, _reference
+
+    # (a) kernel vs twin on synthetic cell inputs (incl. extra s2d rows)
+    xs = jnp.asarray(rng.randn(1, 14, 24, 12).astype(np.float32))
+    cells = jnp.asarray(rng.randn(16, 12, 16).astype(np.float32) * 0.1)
+    got = _strided_conv_impl(xs, cells, 4, 4, 10, 20, jnp.float32, interpret=True)
+    ref = _reference(xs, cells, 4, 4, 10, 20, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # (b) dispatch mapping vs the stock branch (CPU -> twin path)
+    import unimatch_tpu.kernels as K
+
+    monkeypatch.setattr(K, "use_pallas", lambda: True)
+    for (h, w, cin, cout, k, pad) in [(20, 24, 3, 16, 7, 3), (16, 24, 32, 48, 3, 1)]:
+        x = jnp.asarray(rng.randn(1, h, w, cin).astype(np.float32))
+        kern = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32) * 0.1)
+        monkeypatch.setenv("UNIMATCH_FUSE_STRIDED", "0")
+        ref = conv_via_matmul(x, kern, (2, 2), (pad, pad))
+        monkeypatch.setenv("UNIMATCH_FUSE_STRIDED", "1")
+        got = conv_via_matmul(x, kern, (2, 2), (pad, pad))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
