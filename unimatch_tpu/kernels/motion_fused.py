@@ -57,10 +57,13 @@ def _kernel(x_ref, wc1_ref, wf1_ref, wc2_ref, wf2_ref, wm_ref, b_ref, o_ref,
     Tb, Wp, _ = xb.shape
 
     def mask(rows, row0):
-        gr = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0) + (j * T + row0 - _HALO)
-        gc = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
+        # iotas built 3-D from the start: inserting a minor dim on an i1
+        # vector ("ok[..., None]") fails Mosaic ("insertion of minor dim
+        # that is not a no-op only supported for 32-bit types")
+        gr = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp, 1), 0) + (j * T + row0 - _HALO)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp, 1), 1)
         ok = (gr >= 0) & (gr < H) & (gc >= _HALO) & (gc < _HALO + W)
-        return ok[..., None].astype(dt)
+        return ok.astype(dt)
 
     def conv(src, nrows, w_ref, bias, K, rows_out, row0, src_row0):
         """KxK 'same' conv + bias + relu at band rows [row0, row0+rows_out);
