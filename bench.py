@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from unimatch_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()  # warmed .jax_cache/ makes the driver run compile-free
+
 from unimatch_tpu import config as cfgs
 from unimatch_tpu.models.unimatch import UniMatch
 

@@ -18,6 +18,12 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls everywhere in tests: parity with torch CPU oracles
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache (gitignored local dir): repeat test runs skip
+# recompilation, which dominates the suite's ~35 min wall time on this host
+from unimatch_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache(".jax_cache_local")
+
 import numpy as np
 import pytest
 
