@@ -35,6 +35,9 @@ from golden_utils import synthetic_state_dict
 
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
+# smoke tier: one full forward per task, pinned stage-by-stage to fp64 anchors
+pytestmark = pytest.mark.smoke
+
 # Per-stage tolerance = max(2 x the reference's own fp32-vs-fp64 floor at
 # that stage [stored in the fixture], stage epsilon). With random weights the
 # hierarchy+refinement is chaotic — the floors measure exactly how much fp32
@@ -141,10 +144,16 @@ def test_golden_parity(name):
     # pins the refine loop stage-by-stage with per-iteration fp32 floors,
     # instead of relying only on the chaos-dominated final output
     if cfg.reg_refine and "refine.call0.2" in fix.files:
-        ref_calls = calls("refine")
+        if "refine_residuals" in inter:
+            # lax.scan refine path: residuals are sown stacked [N, B, h, w, c]
+            # (the inner refine apply is invisible to capture_intermediates)
+            stacked = inter["refine_residuals"][0]
+            per_iter = [stacked[it] for it in range(infer.num_reg_refine)]
+        else:
+            per_iter = [c[2] for c in calls("refine")]
         for it in range(infer.num_reg_refine):
             key = f"refine.call{it}.2"
-            report[key] = _maxdiff(ref_calls[it][2], fix[key])
+            report[key] = _maxdiff(per_iter[it], fix[key])
 
     # final full-resolution prediction
     report["flow_preds.0"] = _maxdiff(out["flow_preds"][-1], fix["flow_preds.0"])

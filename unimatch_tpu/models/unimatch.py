@@ -344,7 +344,78 @@ class UniMatch(nn.Module):
                                 feature0_ori, feature1_ori, lookup_flow, local_radius=4
                             )
 
-                    for refine_iter_idx in range(infer.num_reg_refine):
+                    # Refine loop as lax.scan (flow/stereo): the update net is
+                    # by far the largest compile unit in the model, and the
+                    # reference unrolls it num_reg_refine times
+                    # (reg_refine.py:37-51 via unimatch.py:272-354). Tracing
+                    # and optimizing the body ONCE cuts compile time for
+                    # bench/train/dryrun alike; runtime is unchanged (the
+                    # iterations are data-dependent sequential either way;
+                    # per-iteration upsample work matches the Python loop,
+                    # which also computes the mask head every iteration).
+                    # Depth keeps the Python loop: its bidir variant doubles
+                    # the batch at iteration 0 (shape change), and every
+                    # published depth recipe uses num_reg_refine=1.
+                    # The scan carries flow; per-iteration (flow, mask) ride
+                    # the stacked ys — at inference only the last entry is
+                    # read, in training all of them feed deep supervision
+                    # through one batched convex upsample.
+                    use_scan = (
+                        task != "depth"
+                        and infer.num_reg_refine > 1
+                        and not self.is_initializing()
+                        and _os.environ.get("UNIMATCH_REFINE_SCAN", "1") != "0"
+                    )
+                    if use_scan:
+                        refine_def = self.refine.clone(parent=None)
+                        refine_vars = {"params": self.variables["params"]["refine"]}
+
+                        def _scan_body(carry_flow, _):
+                            f = jax.lax.stop_gradient(carry_flow)
+                            if task == "stereo":
+                                disp = jnp.concatenate([-f, jnp.zeros_like(f)], axis=-1)
+                                corr_ = _refine_corr(disp)
+                            else:
+                                corr_ = _refine_corr(f)
+                            _, mask_, residual_ = refine_def.apply(
+                                refine_vars, net0, inp, corr_, f
+                            )
+                            f = f + residual_
+                            if task == "stereo":
+                                f = jnp.maximum(f, 0.0)
+                            return f, (f, mask_, residual_)
+
+                        flow, (iter_flows, iter_masks, iter_residuals) = jax.lax.scan(
+                            _scan_body, flow, xs=None, length=infer.num_reg_refine
+                        )
+                        # per-iteration residuals for parity instrumentation:
+                        # the inner refine_def.apply is invisible to the outer
+                        # apply's capture_intermediates, so expose the stacked
+                        # residuals via sow (tests/test_golden_parity.py)
+                        self.sow("intermediates", "refine_residuals", iter_residuals)
+                        if training:
+                            n_it = infer.num_reg_refine
+                            fl = iter_flows.reshape((-1,) + iter_flows.shape[2:])
+                            mk = iter_masks.reshape((-1,) + iter_masks.shape[2:])
+                            ups = upsample_with_mask(
+                                fl, mk, cfg.upsample_factor, is_depth=False
+                            )
+                            flow_preds.extend(
+                                ups.reshape((n_it, -1) + ups.shape[1:])[i]
+                                for i in range(n_it)
+                            )
+                        else:
+                            flow_preds.append(
+                                upsample_with_mask(
+                                    iter_flows[-1], iter_masks[-1],
+                                    cfg.upsample_factor, is_depth=False,
+                                )
+                            )
+                        refine_iters = []  # python loop below skipped
+                    else:
+                        refine_iters = list(range(infer.num_reg_refine))
+
+                    for refine_iter_idx in refine_iters:
                         flow = jax.lax.stop_gradient(flow)
 
                         if task == "stereo":
