@@ -93,22 +93,23 @@ def main():
         if i:
             time.sleep(gap_s)
         dts.append(time_chained(fwd, params, img0, img1, n=n_chunk, warmup=2))
-    # best chunk = steady-state chip capability (relay degradation windows are
-    # strictly one-sided); the median over chunks is reported alongside so the
-    # statistic is auditable against the two-sided A100 average baseline.
+    # median chunk is the PRIMARY statistic: it is two-sided-comparable with
+    # the A100 *average* baseline. The best chunk (steady-state chip
+    # capability — relay degradation windows are strictly one-sided) is
+    # reported alongside.
     dt = min(dts)
     dt_med = sorted(dts)[len(dts) // 2]
 
-    pairs_per_sec = 1.0 / dt
+    pairs_per_sec_med = 1.0 / dt_med
     print(
         json.dumps(
             {
                 "metric": f"{CONFIG}_{H}x{W}_bs1_pairs_per_sec",
-                "value": round(pairs_per_sec, 3),
+                "value": round(pairs_per_sec_med, 3),
                 "unit": "image_pairs/sec/chip",
-                "vs_baseline": round(pairs_per_sec / A100_PAIRS_PER_SEC, 3),
-                "median_of_chunks": round(1.0 / dt_med, 3),
-                "median_vs_baseline": round(1.0 / dt_med / A100_PAIRS_PER_SEC, 3),
+                "vs_baseline": round(pairs_per_sec_med / A100_PAIRS_PER_SEC, 3),
+                "best_of_chunks": round(1.0 / dt, 3),
+                "best_vs_baseline": round(1.0 / dt / A100_PAIRS_PER_SEC, 3),
                 "n_chunks": len(dts),
             }
         )

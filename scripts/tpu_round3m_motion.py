@@ -58,13 +58,15 @@ def stage_motion_parity_small():
     enc = BasicMotionEncoder(flow_channels=2)
     flow = bf(1, 48, 64, 2, scale=3.0)
     corr = bf(1, 48, 64, 81)
-    os.environ["UNIMATCH_FUSE_MOTION"] = "0"
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                          enc.init(jax.random.PRNGKey(0), flow, corr))
-    b = jax.jit(lambda: enc.apply(params, flow, corr)[0])()
-    os.environ["UNIMATCH_FUSE_MOTION"] = "1"
-    a = jax.jit(lambda: enc.apply(params, flow, corr)[0])()
-    os.environ["UNIMATCH_FUSE_MOTION"] = "0"
+    try:
+        os.environ["UNIMATCH_FUSE_MOTION"] = "0"
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                              enc.init(jax.random.PRNGKey(0), flow, corr))
+        b = jax.jit(lambda: enc.apply(params, flow, corr)[0])()
+        os.environ["UNIMATCH_FUSE_MOTION"] = "1"
+        a = jax.jit(lambda: enc.apply(params, flow, corr)[0])()
+    finally:
+        os.environ["UNIMATCH_FUSE_MOTION"] = "0"
     emit(part="motion_parity_small",
          max_abs_diff=float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()),
          ref_absmax=float(jnp.abs(b.astype(jnp.float32)).max()))

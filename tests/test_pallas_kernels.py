@@ -1,6 +1,7 @@
 """Pallas kernels vs their jnp reference twins (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ def _reference(q, k, v):
     return jnp.einsum("blm,bmv->blv", prob, v.astype(jnp.float32))
 
 
+@pytest.mark.smoke
 def test_attention_expectation_matches_reference(rng):
     b, l, c = 2, 300, 128  # l deliberately not a multiple of the block size
     q = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
@@ -37,6 +39,7 @@ def test_attention_expectation_grid_values(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.smoke
 def test_window_attention_matches_reference(rng):
     from unimatch_tpu.kernels.window_attention import window_attention
 
@@ -84,6 +87,7 @@ def test_corr_window_kernel_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_fused_ffn_matches_reference(rng):
     from unimatch_tpu.kernels.ffn import fused_ffn
 
@@ -140,6 +144,7 @@ def test_fused_conv2d_matches_reference(rng):
         )
 
 
+@pytest.mark.smoke
 def test_corr_volume_build_matches_reference(rng):
     from unimatch_tpu.kernels.corr_volume import build_volume, _build_reference
 
@@ -152,6 +157,7 @@ def test_corr_volume_build_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got[:, :p]), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_corr_volume_lookup_matches_reference(rng):
     from unimatch_tpu.kernels.corr_volume import lookup_select_blend, _lookup_reference
 
@@ -174,6 +180,7 @@ def test_corr_volume_lookup_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_gru_pass_horizontal_matches_reference(rng):
     from unimatch_tpu.kernels.gru_fused import gru_pass, _reference_gru_pass
 
@@ -284,6 +291,7 @@ def test_transformer_ffn_fuse_dispatch(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_motion_encoder_fused_matches_reference(rng):
     from unimatch_tpu.kernels.motion_fused import motion_encoder_fused, _reference_motion
 
@@ -341,11 +349,14 @@ def test_local_corr_flow_kernel_matches_reference(rng):
         _local_corr_flow_impl, _reference_flow,
     )
 
-    for shape in [(1, 16, 24, 32), (2, 10, 20, 32)]:
+    # wc=16 on the 44-wide case exercises multi-column sub-blocking
+    # (ncol=3) including the padded last column block (wp=48 > w=44)
+    for shape, wc in [((1, 16, 24, 32), 128), ((2, 10, 20, 32), 128),
+                      ((1, 12, 44, 32), 16)]:
         b, h, w, c = shape
         f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
         f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-        got = _local_corr_flow_impl(f0, f1, 4, interpret=True)
+        got = _local_corr_flow_impl(f0, f1, 4, wc=wc, interpret=True)
         ref = _reference_flow(f0, f1, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 

@@ -29,76 +29,113 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, ry: int, rx: int, h: int,
-            w: int, t: int, scale: float):
-    f0 = f0_ref[0].astype(jnp.float32)  # [T, W, C]
-    band = f1b_ref[0, 0]  # [T+2ry, Wpad, C]
+            w: int, t: int, wc: int, scale: float):
+    """One (batch, row-band, column-band) cell of the streaming window corr.
+
+    Scoped-VMEM design (the round-3 form OOMed at 65.4 MB vs the 16 MB
+    limit at the flagship s1 shape): the 81-offset loop was fully unrolled
+    in the Mosaic IR, keeping ~one f32 [T, W, C] product temporary live per
+    offset. Two changes bound the footprint: (a) columns are sub-blocked
+    (grid axis 2, wc columns per cell) so each temporary is [T, WC, C],
+    and (b) the dy loop is a lax.fori_loop — only the 2rx+1 static dx
+    slices are unrolled per body, so live temporaries are O(2rx+1), not
+    O((2ry+1)(2rx+1)).
+    """
+    f0 = f0_ref[0].astype(jnp.float32)  # [T, WC, C]
+    band = f1b_ref[0, 0, 0]  # [T+2ry, WCpad, C]
 
     row0 = pl.program_id(1) * t
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    col0 = pl.program_id(2) * wc
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, wc), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (t, wc), 1)
 
     neg = jnp.float32(-1e9)
-    m = jnp.full((t, w), -jnp.inf, jnp.float32)
-    s = jnp.zeros((t, w), jnp.float32)
-    fx = jnp.zeros((t, w), jnp.float32)
-    fy = jnp.zeros((t, w), jnp.float32)
-    for dy in range(2 * ry + 1):
+    init = (
+        jnp.full((t, wc), -jnp.inf, jnp.float32),
+        jnp.zeros((t, wc), jnp.float32),
+        jnp.zeros((t, wc), jnp.float32),
+        jnp.zeros((t, wc), jnp.float32),
+    )
+
+    def body(dy, carry):
+        m, s, fx, fy = carry
+        bandy = jax.lax.dynamic_slice_in_dim(band, dy, t, axis=0)  # [T, WCpad, C]
+        offy = (dy - ry).astype(jnp.float32)
+        rowy = rows + (dy - ry)
+        rvalid = (rowy >= 0) & (rowy < h)
         for dx in range(2 * rx + 1):
-            f1s = band[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
-            ck = jnp.sum(f0 * f1s, axis=-1) * scale  # [T, W]
-            valid = (
-                (rows + (dy - ry) >= 0) & (rows + (dy - ry) < h)
-                & (cols + (dx - rx) >= 0) & (cols + (dx - rx) < w)
-            )
-            ck = jnp.where(valid, ck, neg)
+            f1s = bandy[:, dx : dx + wc, :].astype(jnp.float32)
+            ck = jnp.sum(f0 * f1s, axis=-1) * scale  # [T, WC]
+            colx = cols + (dx - rx)
+            ck = jnp.where(rvalid & (colx >= 0) & (colx < w), ck, neg)
             mn = jnp.maximum(m, ck)
             rescale = jnp.exp(m - mn)
             p = jnp.exp(ck - mn)
             s = s * rescale + p
             fx = fx * rescale + p * jnp.float32(dx - rx)
-            fy = fy * rescale + p * jnp.float32(dy - ry)
+            fy = fy * rescale + p * offy
             m = mn
+        return m, s, fx, fy
+
+    _, s, fx, fy = jax.lax.fori_loop(0, 2 * ry + 1, body, init)
     fx_ref[0] = fx / s
     fy_ref[0] = fy / s
 
 
-@functools.partial(jax.jit, static_argnames=("ry", "rx", "t", "interpret"))
-def _local_corr_flow_impl(f0, f1, ry, rx=None, t=8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("ry", "rx", "t", "wc", "interpret"))
+def _local_corr_flow_impl(f0, f1, ry, rx=None, t=8, wc=128, interpret=False):
     if rx is None:
         rx = ry
     b, h, w, c = f0.shape
     hp = -(-h // t) * t
-    wpad = -(-(w + 2 * rx) // 8) * 8
     nb = hp // t
+    # column sub-blocks: wc columns per grid cell (8-aligned), covering w
+    wc = min(wc, -(-w // 8) * 8)
+    wp = -(-w // wc) * wc
+    ncol = wp // wc
+    wcb = -(-(wc + 2 * rx) // 8) * 8  # padded band width per column block
 
-    f0p = jnp.pad(f0, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    f1p = jnp.pad(f1, ((0, 0), (ry, hp - h + ry), (rx, wpad - w - rx), (0, 0)))
-    # overlapping row bands cannot be expressed as disjoint BlockSpec
+    f0p = jnp.pad(f0, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    f1p = jnp.pad(f1, ((0, 0), (ry, hp - h + ry), (rx, wcb + wp - w - rx), (0, 0)))
+    # overlapping row/column bands cannot be expressed as disjoint BlockSpec
     # blocks — materialize them XLA-side (the same trick as
-    # kernels/gru_fused.py): ~(T+2ry)/T x one extra copy of f1
-    f1b = jnp.stack([f1p[:, i * t : i * t + t + 2 * ry] for i in range(nb)], axis=1)
+    # kernels/gru_fused.py): ~(T+2ry)/T x (1 + 2rx/wc) x one extra f1 copy
+    f1b = jnp.stack(
+        [
+            jnp.stack(
+                [f1p[:, i * t : i * t + t + 2 * ry, j * wc : j * wc + wcb]
+                 for j in range(ncol)],
+                axis=1,
+            )
+            for i in range(nb)
+        ],
+        axis=1,
+    )  # [B, nb, ncol, T+2ry, wcb, C]
 
     scale = 1.0 / (c**0.5)
     fx, fy = pl.pallas_call(
-        functools.partial(_kernel, ry=ry, rx=rx, h=h, w=w, t=t, scale=scale),
-        grid=(b, nb),
+        functools.partial(_kernel, ry=ry, rx=rx, h=h, w=w, t=t, wc=wc, scale=scale),
+        grid=(b, nb, ncol),
         in_specs=[
-            pl.BlockSpec((1, t, w, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, t, wc, c), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t + 2 * ry, wpad, c), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, t + 2 * ry, wcb, c),
+                         lambda i, j, k: (i, j, k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, wc), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, wc), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
         ],
         interpret=interpret,
     )(f0p, f1b)
-    return jnp.stack([fx[:, :h], fy[:, :h]], axis=-1)
+    return jnp.stack([fx[:, :h, :w], fy[:, :h, :w]], axis=-1)
 
 
 def _prop_kernel(q_ref, kb_ref, vb_ref, o_ref, *, r: int, t: int, w: int,

@@ -50,6 +50,21 @@ _ACT_FNS = {
 }
 
 
+def _use_lax_conv() -> bool:
+    """A/B lever (UNIMATCH_CONV_LAX): lower convolutions with
+    lax.conv_general_dilated instead of the shifted-matmul form below.
+
+    Round 1 measured lax.conv erratically 10-25x off peak at every channel
+    width on the then-current libtpu, which is why conv_via_matmul exists.
+    The round-3j per-shape probe found that pathology no longer reproduces
+    (docs/PERF_NOTES.md): lax.conv ties the shifted-matmul form at the
+    backbone shapes. This flag drives the round-4 full-model A/B; if lax.conv
+    wins it also shrinks every compile (one HLO op per conv instead of K
+    shifted matmuls + adds), which is most of the train-step compile blowup.
+    """
+    return os.environ.get("UNIMATCH_CONV_LAX", "0") != "0"
+
+
 def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c)."""
     b, h, w, c = x.shape
@@ -76,6 +91,16 @@ def conv_via_matmul(
     """
     if out_dtype is None:
         out_dtype = x.dtype
+    if _use_lax_conv():
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=stride,
+            padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(out_dtype)
     kh, kw, cin, cout = kernel.shape
     sh, sw = stride
     ph, pw = padding
