@@ -1,0 +1,312 @@
+"""Round-4 on-chip batch B: streaming kernels + per-variant levers.
+
+Runs after tpu_round4a_batch.py; pass the 4a winners to every arm via
+R4B_BASE="UNIMATCH_CONV_LAX=1,UNIMATCH_FUSE_MOTION=1" (comma k=v list).
+
+Stages:
+  local_corr_kernel    VMEM-sub-blocked streaming local corr at the flagship
+                       s1 shape: compile (the round-3 form OOMed), on-chip
+                       parity, isolated A/B vs the XLA extract_patches form
+  local_prop_kernel    streaming local propagation r=1: same checks
+  upsample_kernel      fused convex upsample at flagship shape: same checks
+  flagship_streaming_ab flagship A/B: base vs base+corr vs base+corr+prop+up
+  stereo_variant_ab    gmstereo_scale2_regrefine3: base vs base+streaming
+  depth_breakdown      GMDepth-scale1 480x640 stage timings (finds the
+                       next lever for the 1.44x-laggard variant)
+
+Appends JSON lines to /tmp/tpu_r4b_results.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unimatch_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from unimatch_tpu.utils.benchmark import time_chained  # noqa: E402
+
+OUT = "/tmp/tpu_r4b_results.jsonl"
+
+BASE = dict(kv.split("=") for kv in os.environ.get("R4B_BASE", "").split(",") if kv)
+
+STREAM_FLAGS = ("UNIMATCH_FUSE_LOCAL_CORR", "UNIMATCH_FUSE_LOCAL_PROP",
+                "UNIMATCH_FUSE_UPSAMPLE")
+TOUCHED = tuple(BASE) + STREAM_FLAGS + (
+    "UNIMATCH_REFINE_SCAN", "UNIMATCH_CONV_LAX", "UNIMATCH_FUSE_MOTION",
+    "UNIMATCH_SWIN_SPATIAL",
+)
+
+
+def emit(**kw):
+    line = json.dumps(kw)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+def guarded(fn, *args):
+    t0 = time.time()
+    try:
+        fn(*args)
+        emit(part=fn.__name__, status="done", wall_s=round(time.time() - t0, 1))
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        emit(part=fn.__name__, status="error", error=repr(e)[:400])
+
+
+def set_flags(overrides):
+    for k in TOUCHED:
+        os.environ.pop(k, None)
+    for k, v in {**BASE, **overrides}.items():
+        os.environ[k] = v
+
+
+def reset_flags():
+    set_flags({})
+
+
+def stage_local_corr_kernel():
+    from unimatch_tpu.kernels.local_corr import _local_corr_flow_impl, _reference_flow
+
+    rng = np.random.RandomState(7)
+    f0 = jnp.asarray(rng.randn(1, 112, 256, 128), jnp.bfloat16)
+    f1 = jnp.asarray(rng.randn(1, 112, 256, 128), jnp.bfloat16)
+
+    got = jax.jit(lambda: _local_corr_flow_impl(f0, f1, 4))()  # compile or die
+    ref = jax.jit(lambda: _reference_flow(f0, f1, 4))()
+    emit(part="local_corr_parity",
+         max_abs_diff=float(jnp.abs(got - ref).max()),
+         ref_absmax=float(jnp.abs(ref).max()))
+
+    res = {}
+    for rep in range(3):
+        res.setdefault("kernel_ms", []).append(round(time_chained(
+            lambda: _local_corr_flow_impl(f0, f1, 4), n=24,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+        res.setdefault("xla_ms", []).append(round(time_chained(
+            lambda: _reference_flow(f0, f1, 4), n=24,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+    emit(part="local_corr_ab", **res)
+
+
+def stage_local_prop_kernel():
+    from unimatch_tpu.kernels.local_corr import _local_prop_impl, _reference_prop
+
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(1, 112, 256, 128), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(1, 112, 256, 128), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(1, 112, 256, 2) * 3, jnp.bfloat16)
+
+    got = jax.jit(lambda: _local_prop_impl(q, k, v, 1))()
+    ref = jax.jit(lambda: _reference_prop(q, k, v, 1))()
+    emit(part="local_prop_parity",
+         max_abs_diff=float(jnp.abs(got - ref).max()),
+         ref_absmax=float(jnp.abs(ref).max()))
+
+    res = {}
+    for rep in range(3):
+        res.setdefault("kernel_ms", []).append(round(time_chained(
+            lambda: _local_prop_impl(q, k, v, 1), n=24,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+        res.setdefault("xla_ms", []).append(round(time_chained(
+            lambda: _reference_prop(q, k, v, 1), n=24,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+    emit(part="local_prop_ab", **res)
+
+
+def stage_upsample_kernel():
+    from unimatch_tpu.kernels.upsample_fused import _upsample_impl, _reference
+
+    rng = np.random.RandomState(9)
+    flow = jnp.asarray(rng.randn(1, 112, 256, 2) * 5, jnp.bfloat16)
+    mask = jnp.asarray(rng.randn(1, 112, 256, 144), jnp.bfloat16)
+
+    got = jax.jit(lambda: _upsample_impl(flow, mask, 4, False))()
+    ref = jax.jit(lambda: _reference(flow, mask, 4, False))()
+    emit(part="upsample_parity",
+         max_abs_diff=float(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)).max()),
+         ref_absmax=float(jnp.abs(ref.astype(jnp.float32)).max()))
+
+    res = {}
+    for rep in range(3):
+        res.setdefault("kernel_ms", []).append(round(time_chained(
+            lambda: _upsample_impl(flow, mask, 4, False), n=24,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+        res.setdefault("xla_ms", []).append(round(time_chained(
+            lambda: _reference(flow, mask, 4, False), n=24,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+    emit(part="upsample_ab", **res)
+
+
+def _forward_ab(tag, cfg_pair, shape, arms):
+    from unimatch_tpu.models.unimatch import UniMatch
+
+    cfg, infer = cfg_pair
+    model = UniMatch(config=cfg)
+    h, w = shape
+    img0 = jnp.asarray(np.random.RandomState(1).rand(1, h, w, 3) * 255, jnp.bfloat16)
+    img1 = jnp.asarray(np.random.RandomState(2).rand(1, h, w, 3) * 255, jnp.bfloat16)
+    reset_flags()
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    def mk(name):
+        def fwd(p, a, b):
+            return model.apply(p, a, b, infer=infer)["flow_preds"][-1]
+
+        fwd.__name__ = f"{tag}_{name}"
+        return fwd
+
+    res, outs, failed = {}, {}, {}
+    try:
+        for rep in range(3):
+            for name, overrides in arms.items():
+                if name in failed:
+                    continue
+                try:
+                    set_flags(overrides)
+                    dt = time_chained(mk(name), params, img0, img1, n=12,
+                                      min_warmup_s=8 if rep == 0 else 0, warmup=2)
+                    res.setdefault(f"{name}_ms", []).append(round(dt * 1e3, 1))
+                    if rep == 0:
+                        outs[name] = jax.jit(mk(name))(params, img0, img1).astype(jnp.float32)
+                except Exception as e:  # noqa: BLE001
+                    traceback.print_exc()
+                    failed[name] = repr(e)[:200]
+    finally:
+        reset_flags()
+    parity = {}
+    base_name = next(iter(arms))
+    for name, o in outs.items():
+        if name != base_name and base_name in outs:
+            parity[f"{name}_parity"] = round(float(jnp.abs(o - outs[base_name]).max()), 4)
+    emit(part=tag, **res, **parity, **({"failed": failed} if failed else {}))
+
+
+def stage_flagship_streaming_ab():
+    from unimatch_tpu import config as cfgs
+
+    _forward_ab(
+        "flagship_streaming_ab", cfgs.GMFLOW_SCALE2_REGREFINE6, (448, 1024),
+        {
+            "base": {},
+            "corr": {"UNIMATCH_FUSE_LOCAL_CORR": "1"},
+            "all_stream": {k: "1" for k in STREAM_FLAGS},
+        },
+    )
+
+
+def stage_stereo_variant_ab():
+    from unimatch_tpu import config as cfgs
+
+    _forward_ab(
+        "stereo_variant_ab", cfgs.GMSTEREO_SCALE2_REGREFINE3, (384, 1248),
+        {
+            "base": {},
+            "stream": {k: "1" for k in STREAM_FLAGS},
+        },
+    )
+
+
+def stage_depth_breakdown():
+    """GMDepth-scale1 480x640: isolated stage timings to find the laggard."""
+    from unimatch_tpu import config as cfgs
+    from unimatch_tpu.models.unimatch import UniMatch
+    from unimatch_tpu.models.backbone import CNNEncoder
+    from unimatch_tpu.models.transformer import FeatureTransformer
+    from unimatch_tpu.models.propagation import SelfAttnPropagation
+    from unimatch_tpu.ops import correlation as C
+
+    reset_flags()
+    cfg, infer = cfgs.GMDEPTH_SCALE1
+    model = UniMatch(config=cfg)
+    h, w = 480, 640
+    rng = np.random.RandomState(1)
+    img0 = jnp.asarray(rng.rand(1, h, w, 3) * 255, jnp.bfloat16)
+    img1 = jnp.asarray(rng.rand(1, h, w, 3) * 255, jnp.bfloat16)
+    K = jnp.asarray(
+        np.array([[[520.0, 0, w / 2], [0, 520.0, h / 2], [0, 0, 1]]], np.float32)
+    )
+    pose = np.eye(4, dtype=np.float32)[None]
+    pose[:, 0, 3] = 0.1
+    pose = jnp.asarray(pose)
+    extra = {"intrinsics": K, "pose": pose}
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer, **extra)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    res = {}
+
+    def fwd(p, a, b):
+        return model.apply(p, a, b, infer=infer, **extra)["flow_preds"][-1]
+
+    for rep in range(2):
+        res.setdefault("full_ms", []).append(round(time_chained(
+            fwd, params, img0, img1, n=32,
+            min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
+
+    # isolated stages at feature shape [1, 60, 80, 128]
+    fh, fw, c = 60, 80, 128
+    f0 = jnp.asarray(rng.randn(1, fh, fw, c), jnp.bfloat16)
+    f1 = jnp.asarray(rng.randn(1, fh, fw, c), jnp.bfloat16)
+    Kf = K * jnp.asarray([[1 / 8], [1 / 8], [1.0]], jnp.float32)[None]
+
+    bb = CNNEncoder(output_dim=128, num_output_scales=1)
+    pbb = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      bb.init(jax.random.PRNGKey(0), jnp.concatenate([img0, img1], 0)))
+    res["backbone_ms"] = round(time_chained(
+        lambda: bb.apply(pbb, jnp.concatenate([img0, img1], 0))[-1], n=24,
+        min_warmup_s=8, warmup=2) * 1e3, 2)
+
+    tr = FeatureTransformer(num_layers=6, d_model=128, ffn_dim_expansion=4)
+    ptr = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      tr.init(jax.random.PRNGKey(0), f0, f1,
+                              attn_type="swin", attn_num_splits=2))
+    res["transformer_ms"] = round(time_chained(
+        lambda: tr.apply(ptr, f0, f1, attn_type="swin", attn_num_splits=2)[0],
+        n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
+
+    cand = jnp.broadcast_to(
+        jnp.linspace(infer.min_depth, infer.max_depth, 64, dtype=jnp.float32)[None, :, None, None],
+        (1, 64, fh, fw),
+    )
+    res["plane_sweep_ms"] = round(time_chained(
+        lambda: C.correlation_softmax_depth(f0, f1, Kf, pose, cand)[0],
+        n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
+
+    prop = SelfAttnPropagation(in_channels=c)
+    dflow = jnp.asarray(rng.rand(1, fh, fw, 1), jnp.bfloat16)
+    pprop = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                        prop.init(jax.random.PRNGKey(0), f0, dflow,
+                                  local_window_attn=False, local_window_radius=-1))
+    res["propagation_ms"] = round(time_chained(
+        lambda: prop.apply(pprop, f0, dflow, local_window_attn=False,
+                           local_window_radius=-1),
+        n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
+
+    emit(part="depth_breakdown", **res)
+
+
+if __name__ == "__main__":
+    emit(part="session_r4b", backend=jax.default_backend(), base=BASE,
+         start=time.strftime("%H:%M:%S"))
+    guarded(stage_local_corr_kernel)
+    guarded(stage_local_prop_kernel)
+    guarded(stage_upsample_kernel)
+    guarded(stage_flagship_streaming_ab)
+    guarded(stage_stereo_variant_ab)
+    guarded(stage_depth_breakdown)
+    emit(part="session_r4b", status="complete", end=time.strftime("%H:%M:%S"))
