@@ -71,22 +71,6 @@ def test_window_attention_with_bias(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
-def test_corr_window_kernel_matches_reference(rng):
-    from unimatch_tpu.kernels.corr_window import corr_window_pallas, prepare_inputs
-    from unimatch_tpu.ops.correlation import local_correlation_with_flow
-
-    b, h, w, c, r = 1, 16, 16, 128, 4
-    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    fl = jnp.asarray((rng.randn(b, h, w, 2) * 3).astype(np.float32))
-
-    f1p, iy0, ix0, wx1, wy1 = prepare_inputs(f1, fl, r)
-    got = corr_window_pallas(f0, f1p, iy0, ix0, wx1, wy1, r=r, interpret=True)
-    got = got / np.sqrt(c)
-    ref = local_correlation_with_flow(f0, f1, fl, r)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
-
-
 @pytest.mark.smoke
 def test_fused_ffn_matches_reference(rng):
     from unimatch_tpu.kernels.ffn import fused_ffn
@@ -110,38 +94,6 @@ def test_fused_ffn_matches_reference(rng):
     y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
     want = src + y * gamma + beta
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
-
-
-def test_fused_conv2d_matches_reference(rng):
-    from unimatch_tpu.kernels.conv_fused import fused_conv2d
-    from unimatch_tpu.models.layers import conv_via_matmul
-
-    b, h, w = 2, 21, 36  # h not a multiple of the row tile
-    for kh, kw, cins, cout, act in [
-        (1, 5, (16, 32), 24, "sigmoid"),
-        (5, 1, (16, 32), 16, "tanh"),
-        (3, 3, (8, 24, 2), 40, "relu"),
-        (7, 7, (6,), 16, None),
-        (1, 1, (24,), 32, "relu"),
-    ]:
-        parts = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)) for c in cins]
-        kern = jnp.asarray(rng.randn(kh, kw, sum(cins), cout).astype(np.float32) * 0.1)
-        bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
-
-        got = fused_conv2d(parts, kern, bias, act=act, interpret=True)
-
-        x = jnp.concatenate(parts, axis=-1)
-        want = conv_via_matmul(x, kern, (1, 1), ((kh - 1) // 2, (kw - 1) // 2)) + bias
-        if act == "relu":
-            want = jax.nn.relu(want)
-        elif act == "sigmoid":
-            want = jax.nn.sigmoid(want)
-        elif act == "tanh":
-            want = jnp.tanh(want)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
-            err_msg=f"kh={kh} kw={kw} cins={cins} cout={cout} act={act}",
-        )
 
 
 @pytest.mark.smoke
@@ -421,30 +373,3 @@ def test_upsample_fused_kernel_matches_reference(rng):
         ref = _reference(flow, mask, k, is_depth)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
-def test_strided_conv_kernel_matches_conv(rng, monkeypatch):
-    """(a) The Pallas strided-conv kernel (interpret) == its jnp twin;
-    (b) the conv_via_matmul dispatch with UNIMATCH_FUSE_STRIDED=1 (which on
-    CPU routes the REAL xs/cells construction through the twin) == the
-    stock stride-2 branch — validating the cell/s2d mapping."""
-    from unimatch_tpu.models.layers import conv_via_matmul
-    from unimatch_tpu.kernels.strided_conv import _strided_conv_impl, _reference
-
-    # (a) kernel vs twin on synthetic cell inputs (incl. extra s2d rows)
-    xs = jnp.asarray(rng.randn(1, 14, 24, 12).astype(np.float32))
-    cells = jnp.asarray(rng.randn(16, 12, 16).astype(np.float32) * 0.1)
-    got = _strided_conv_impl(xs, cells, 4, 4, 10, 20, jnp.float32, interpret=True)
-    ref = _reference(xs, cells, 4, 4, 10, 20, jnp.float32)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
-
-    # (b) dispatch mapping vs the stock branch (CPU -> twin path)
-    import unimatch_tpu.kernels as K
-
-    monkeypatch.setattr(K, "use_pallas", lambda: True)
-    for (h, w, cin, cout, k, pad) in [(20, 24, 3, 16, 7, 3), (16, 24, 32, 48, 3, 1)]:
-        x = jnp.asarray(rng.randn(1, h, w, cin).astype(np.float32))
-        kern = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32) * 0.1)
-        monkeypatch.setenv("UNIMATCH_FUSE_STRIDED", "0")
-        ref = conv_via_matmul(x, kern, (2, 2), (pad, pad))
-        monkeypatch.setenv("UNIMATCH_FUSE_STRIDED", "1")
-        got = conv_via_matmul(x, kern, (2, 2), (pad, pad))
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -164,20 +164,10 @@ def conv_via_matmul(
                 blocks.append(kernel[u, v] if (u < kh and v < kw) else zeros_blk)
         return jnp.concatenate(blocks, axis=0)  # [s*s*cin, cout]
 
-    # Pallas path (UNIMATCH_FUSE_STRIDED): the same cell dots with the f32
-    # accumulator in VMEM — the per-cell partials (16 x [N, cout] f32 for
-    # the 7x7/s2 stem, ~470 MB at the flagship shape) never reach HBM
-    if os.environ.get("UNIMATCH_FUSE_STRIDED", "0") != "0":
-        from unimatch_tpu.kernels import use_pallas
-
-        if use_pallas():
-            from unimatch_tpu.kernels.strided_conv import strided_conv_cells
-
-            cells = jnp.stack(
-                [cell_kernel(a, bb) for a in range(na) for bb in range(nb)]
-            ).astype(x.dtype)
-            return strided_conv_cells(xs, cells, na, nb, oh, ow, out_dtype)
-
+    # NOTE: a VMEM-accumulated Pallas variant of these cell dots
+    # (kernels/strided_conv.py, removed in round 4) LOST the on-chip
+    # backbone A/B 19.7 vs 10.78 ms — the space-to-depth relayout the
+    # kernel needed on its input dominated (docs/PERF_NOTES.md round-3j).
     # NOTE: concatenating all cells into one im2col map + a single wide-K
     # matmul measured 4x SLOWER than the per-cell accumulation below (the
     # sub-128-channel cell slices lane-pad and the concat relayouts): keep
@@ -205,7 +195,7 @@ class Conv2d(nn.Module):
     under lax.conv (see conv_via_matmul); wide-channel convs and dilated
     convs use lax.conv directly. With fuse=True (stride-1 'same' convs on the
     hot path), the conv + bias + activation run as one Pallas kernel with the
-    tap accumulator in VMEM (kernels/conv_fused.py).
+    tap accumulator in VMEM (kernels/conv_banded.py).
     """
 
     features: int

@@ -120,35 +120,20 @@ class SepConvGRU(nn.Module):
                     horizontal=ksize[0] == 1,
                 )
 
-        fused = False
-        if _fuse_conv():
-            from unimatch_tpu.kernels import use_pallas
-
-            fused = use_pallas()
-        if fused:
-            from unimatch_tpu.kernels.conv_fused import fused_conv2d
-
-            xacc = fused_conv2d(x_parts, kx)
-            hzr = fused_conv2d([h], khzr)
-        else:
-            xacc = None
-            off = 0
-            for p in x_parts:
-                ci = p.shape[-1]
-                y = conv_via_matmul(p, kx[:, :, off : off + ci, :], (1, 1), pad)
-                xacc = y if xacc is None else xacc + y
-                off += ci
-            hzr = conv_via_matmul(h, khzr, (1, 1), pad)
+        xacc = None
+        off = 0
+        for p in x_parts:
+            ci = p.shape[-1]
+            y = conv_via_matmul(p, kx[:, :, off : off + ci, :], (1, 1), pad)
+            xacc = y if xacc is None else xacc + y
+            off += ci
+        hzr = conv_via_matmul(h, khzr, (1, 1), pad)
         xz, xr, xq = xacc[..., :hd], xacc[..., hd : 2 * hd], xacc[..., 2 * hd :]
 
         z = jax.nn.sigmoid(hzr[..., :hd] + xz + bz)
         r = jax.nn.sigmoid(hzr[..., hd:] + xr + br)
         rh = r * h
-        qh = (
-            fused_conv2d([rh], kq[:, :, :hd, :])
-            if fused
-            else conv_via_matmul(rh, kq[:, :, :hd, :], (1, 1), pad)
-        )
+        qh = conv_via_matmul(rh, kq[:, :, :hd, :], (1, 1), pad)
         q = jnp.tanh(qh + xq + bq)
         return (1 - z) * h + z * q
 
