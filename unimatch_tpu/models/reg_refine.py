@@ -153,8 +153,12 @@ class SepConvGRU(nn.Module):
 def _fuse_motion() -> bool:
     """Dispatch the whole motion-encoder conv chain to the fused Pallas
     kernel (kernels/motion_fused.py — all four intermediates stay in VMEM;
-    the 7x7 flow conv folds into an XLA-side im2col)."""
-    return os.environ.get("UNIMATCH_FUSE_MOTION", "0") != "0"
+    the 7x7 flow conv folds into an XLA-side im2col). Default ON since
+    round 4: SOLO flagship A/B 61.1 vs 65.7 ms median (interleaved,
+    scripts/tpu_round4a_batch.py), on-chip parity 0.031 max-abs on 6.125
+    absmax at the flagship s1 shape. UNIMATCH_FUSE_MOTION=0 re-traces the
+    XLA form for A/B."""
+    return os.environ.get("UNIMATCH_FUSE_MOTION", "1") != "0"
 
 
 class BasicMotionEncoder(nn.Module):

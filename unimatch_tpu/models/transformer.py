@@ -48,9 +48,13 @@ def _swin_spatial() -> bool:
     """Route swin-2D window attention through the relayout-free spatial
     kernel (ops/attention_ops.py::swin_layer_attention): the window
     split/merge happens in BlockSpec index maps instead of HBM relayouts,
-    and q/k/v stay packed on the channel axis end to end. Default OFF until
-    measured on chip (UNIMATCH_SWIN_SPATIAL=1 enables)."""
-    return os.environ.get("UNIMATCH_SWIN_SPATIAL", "0") != "0"
+    and q/k/v stay packed on the channel axis end to end. Default ON since
+    round 4: single-layer on-chip parity is EXACT (0.0 vs the XLA form —
+    round-3's 3.6 six-layer drift was chained-bf16 amplification, not
+    kernel error), SOLO flagship A/B 62.9 vs 65.7 ms median
+    (scripts/tpu_round4a_batch.py). UNIMATCH_SWIN_SPATIAL=0 re-traces the
+    XLA form for A/B."""
+    return os.environ.get("UNIMATCH_SWIN_SPATIAL", "1") != "0"
 
 
 class TransformerLayer(nn.Module):
