@@ -75,6 +75,111 @@ def reset_flags():
     set_flags({})
 
 
+def stage_flagship_breakdown():
+    """Isolated stage timings at bench shape with CURRENT defaults (fused
+    motion + swin + GRU + FFN, compact tiled volume) — locates the next
+    lever now that round-4a landed.  Round-3 table: backbone 10.3,
+    transformer-s1 15.5, volume build 11.4 (pre-compaction), lookup 1.5/it,
+    update net 6.8/it, upsample 2.0."""
+    from unimatch_tpu.models.backbone import CNNEncoder
+    from unimatch_tpu.models.transformer import FeatureTransformer
+    from unimatch_tpu.models.propagation import SelfAttnPropagation
+    from unimatch_tpu.models.reg_refine import BasicUpdateBlock
+    from unimatch_tpu.ops import correlation as C
+    from unimatch_tpu.ops.upsample import upsample_with_mask
+
+    reset_flags()
+    rng = np.random.RandomState(3)
+
+    def bf(*shape, scale=1.0):
+        return jnp.asarray(rng.randn(*shape) * scale, jnp.bfloat16)
+
+    res = {}
+
+    x = bf(2, 448, 1024, 3, scale=50.0)
+    enc = CNNEncoder(output_dim=128, num_output_scales=2)
+    pe = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      enc.init(jax.random.PRNGKey(0), x))
+    res["backbone_ms"] = [round(time_chained(
+        lambda: enc.apply(pe, x)[-1], n=20,
+        min_warmup_s=8 if i == 0 else 0, warmup=2) * 1e3, 2) for i in range(2)]
+
+    f0 = bf(1, 112, 256, 128)
+    f1 = bf(1, 112, 256, 128)
+    tr = FeatureTransformer(num_layers=6, d_model=128, ffn_dim_expansion=4)
+    pt = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      tr.init(jax.random.PRNGKey(0), f0, f1,
+                              attn_type="swin", attn_num_splits=8))
+    res["transformer_s1_ms"] = [round(time_chained(
+        lambda: tr.apply(pt, f0, f1, attn_type="swin", attn_num_splits=8)[0],
+        n=20, min_warmup_s=8 if i == 0 else 0, warmup=2) * 1e3, 2) for i in range(2)]
+
+    s0a, s0b = bf(1, 56, 128, 128), bf(1, 56, 128, 128)
+    pt0 = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                       tr.init(jax.random.PRNGKey(0), s0a, s0b,
+                               attn_type="swin", attn_num_splits=2))
+    res["transformer_s0_ms"] = [round(time_chained(
+        lambda: tr.apply(pt0, s0a, s0b, attn_type="swin", attn_num_splits=2)[0],
+        n=20, warmup=2) * 1e3, 2) for _ in range(2)]
+    res["global_corr_s0_ms"] = [round(time_chained(
+        lambda: C.global_correlation_softmax(s0a, s0b)[0], n=20,
+        warmup=2) * 1e3, 2) for _ in range(2)]
+
+    res["local_corr_s1_ms"] = [round(time_chained(
+        lambda: C.local_correlation_softmax(f0, f1, 4)[0], n=20,
+        warmup=2) * 1e3, 2) for _ in range(2)]
+    flow = bf(1, 112, 256, 2, scale=5.0)
+    prop = SelfAttnPropagation(in_channels=128)
+    pp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      prop.init(jax.random.PRNGKey(0), f0, flow,
+                                local_window_attn=True, local_window_radius=1))
+    res["prop_s1_ms"] = [round(time_chained(
+        lambda: prop.apply(pp, f0, flow, local_window_attn=True,
+                           local_window_radius=1), n=20,
+        warmup=2) * 1e3, 2) for _ in range(2)]
+
+    def build_plus_6(a, b, f):
+        vol = C.build_tiled_correlation_volume(a, b, 4)
+        out = jnp.zeros((), jnp.float32)
+        ff = f
+        for _ in range(6):
+            corr = C.local_correlation_with_flow_from_tiled_volume(vol, ff, 4)
+            out = out + corr.astype(jnp.float32).mean()
+            ff = ff + 0.5
+        return out
+
+    res["volume_build_ms"] = [round(time_chained(
+        lambda: C.build_tiled_correlation_volume(f0, f1, 4).vt, n=10,
+        min_warmup_s=8 if i == 0 else 0, warmup=1) * 1e3, 2) for i in range(2)]
+    res["volume_build_plus6_ms"] = [round(time_chained(
+        build_plus_6, f0, f1, flow, n=10, warmup=1) * 1e3, 2) for _ in range(2)]
+
+    blk = BasicUpdateBlock(downsample_factor=4, flow_dim=2, bilinear_up=False)
+    net, inp = bf(1, 112, 256, 128), bf(1, 112, 256, 128)
+    corr = bf(1, 112, 256, 81)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      blk.init(jax.random.PRNGKey(0), net, inp, corr, flow))
+
+    def upd6(p, net, inp, corr, flow):
+        f = flow
+        mask = None
+        for _ in range(6):
+            _, mask, delta = blk.apply(p, net, inp, corr, f)
+            f = f + delta
+        return f, mask.astype(jnp.float32).sum()
+
+    res["update_x6_ms"] = [round(time_chained(
+        upd6, pb, net, inp, corr, flow, n=10,
+        min_warmup_s=8 if i == 0 else 0, warmup=1) * 1e3, 2) for i in range(2)]
+
+    mask = bf(1, 112, 256, 144)
+    res["upsample_ms"] = [round(time_chained(
+        lambda: upsample_with_mask(flow, mask, 4), n=20,
+        warmup=2) * 1e3, 2) for _ in range(2)]
+
+    emit(part="flagship_breakdown", **res)
+
+
 def stage_local_corr_kernel():
     from unimatch_tpu.kernels.local_corr import _local_corr_flow_impl, _reference_flow
 
@@ -303,6 +408,7 @@ def stage_depth_breakdown():
 if __name__ == "__main__":
     emit(part="session_r4b", backend=jax.default_backend(), base=BASE,
          start=time.strftime("%H:%M:%S"))
+    guarded(stage_flagship_breakdown)
     guarded(stage_local_corr_kernel)
     guarded(stage_local_prop_kernel)
     guarded(stage_upsample_kernel)
