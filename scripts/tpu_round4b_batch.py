@@ -101,7 +101,7 @@ def stage_flagship_breakdown():
     pe = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                       enc.init(jax.random.PRNGKey(0), x))
     res["backbone_ms"] = [round(time_chained(
-        lambda: enc.apply(pe, x)[-1], n=20,
+        lambda p, t: enc.apply(p, t)[-1], pe, x, n=20,
         min_warmup_s=8 if i == 0 else 0, warmup=2) * 1e3, 2) for i in range(2)]
 
     f0 = bf(1, 112, 256, 128)
@@ -111,7 +111,8 @@ def stage_flagship_breakdown():
                       tr.init(jax.random.PRNGKey(0), f0, f1,
                               attn_type="swin", attn_num_splits=8))
     res["transformer_s1_ms"] = [round(time_chained(
-        lambda: tr.apply(pt, f0, f1, attn_type="swin", attn_num_splits=8)[0],
+        lambda p, a, b: tr.apply(p, a, b, attn_type="swin", attn_num_splits=8)[0],
+        pt, f0, f1,
         n=20, min_warmup_s=8 if i == 0 else 0, warmup=2) * 1e3, 2) for i in range(2)]
 
     s0a, s0b = bf(1, 56, 128, 128), bf(1, 56, 128, 128)
@@ -119,14 +120,14 @@ def stage_flagship_breakdown():
                        tr.init(jax.random.PRNGKey(0), s0a, s0b,
                                attn_type="swin", attn_num_splits=2))
     res["transformer_s0_ms"] = [round(time_chained(
-        lambda: tr.apply(pt0, s0a, s0b, attn_type="swin", attn_num_splits=2)[0],
-        n=20, warmup=2) * 1e3, 2) for _ in range(2)]
+        lambda p, a, b: tr.apply(p, a, b, attn_type="swin", attn_num_splits=2)[0],
+        pt0, s0a, s0b, n=20, warmup=2) * 1e3, 2) for _ in range(2)]
     res["global_corr_s0_ms"] = [round(time_chained(
-        lambda: C.global_correlation_softmax(s0a, s0b)[0], n=20,
+        lambda a, b: C.global_correlation_softmax(a, b)[0], s0a, s0b, n=20,
         warmup=2) * 1e3, 2) for _ in range(2)]
 
     res["local_corr_s1_ms"] = [round(time_chained(
-        lambda: C.local_correlation_softmax(f0, f1, 4)[0], n=20,
+        lambda a, b: C.local_correlation_softmax(a, b, 4)[0], f0, f1, n=20,
         warmup=2) * 1e3, 2) for _ in range(2)]
     flow = bf(1, 112, 256, 2, scale=5.0)
     prop = SelfAttnPropagation(in_channels=128)
@@ -134,8 +135,8 @@ def stage_flagship_breakdown():
                       prop.init(jax.random.PRNGKey(0), f0, flow,
                                 local_window_attn=True, local_window_radius=1))
     res["prop_s1_ms"] = [round(time_chained(
-        lambda: prop.apply(pp, f0, flow, local_window_attn=True,
-                           local_window_radius=1), n=20,
+        lambda p, a, fl: prop.apply(p, a, fl, local_window_attn=True,
+                                    local_window_radius=1), pp, f0, flow, n=20,
         warmup=2) * 1e3, 2) for _ in range(2)]
 
     def build_plus_6(a, b, f):
@@ -149,7 +150,7 @@ def stage_flagship_breakdown():
         return out
 
     res["volume_build_ms"] = [round(time_chained(
-        lambda: C.build_tiled_correlation_volume(f0, f1, 4).vt, n=10,
+        lambda a, b: C.build_tiled_correlation_volume(a, b, 4).vt, f0, f1, n=10,
         min_warmup_s=8 if i == 0 else 0, warmup=1) * 1e3, 2) for i in range(2)]
     res["volume_build_plus6_ms"] = [round(time_chained(
         build_plus_6, f0, f1, flow, n=10, warmup=1) * 1e3, 2) for _ in range(2)]
@@ -174,7 +175,7 @@ def stage_flagship_breakdown():
 
     mask = bf(1, 112, 256, 144)
     res["upsample_ms"] = [round(time_chained(
-        lambda: upsample_with_mask(flow, mask, 4), n=20,
+        lambda f, m: upsample_with_mask(f, m, 4), flow, mask, n=20,
         warmup=2) * 1e3, 2) for _ in range(2)]
 
     emit(part="flagship_breakdown", **res)
@@ -196,10 +197,10 @@ def stage_local_corr_kernel():
     res = {}
     for rep in range(3):
         res.setdefault("kernel_ms", []).append(round(time_chained(
-            lambda: _local_corr_flow_impl(f0, f1, 4), n=24,
+            lambda a, b: _local_corr_flow_impl(a, b, 4), f0, f1, n=24,
             min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
         res.setdefault("xla_ms", []).append(round(time_chained(
-            lambda: _reference_flow(f0, f1, 4), n=24,
+            lambda a, b: _reference_flow(a, b, 4), f0, f1, n=24,
             min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
     emit(part="local_corr_ab", **res)
 
@@ -221,10 +222,10 @@ def stage_local_prop_kernel():
     res = {}
     for rep in range(3):
         res.setdefault("kernel_ms", []).append(round(time_chained(
-            lambda: _local_prop_impl(q, k, v, 1), n=24,
+            lambda a, b, c: _local_prop_impl(a, b, c, 1), q, k, v, n=24,
             min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
         res.setdefault("xla_ms", []).append(round(time_chained(
-            lambda: _reference_prop(q, k, v, 1), n=24,
+            lambda a, b, c: _reference_prop(a, b, c, 1), q, k, v, n=24,
             min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
     emit(part="local_prop_ab", **res)
 
@@ -245,10 +246,10 @@ def stage_upsample_kernel():
     res = {}
     for rep in range(3):
         res.setdefault("kernel_ms", []).append(round(time_chained(
-            lambda: _upsample_impl(flow, mask, 4, False), n=24,
+            lambda f, m: _upsample_impl(f, m, 4, False), flow, mask, n=24,
             min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
         res.setdefault("xla_ms", []).append(round(time_chained(
-            lambda: _reference(flow, mask, 4, False), n=24,
+            lambda f, m: _reference(f, m, 4, False), flow, mask, n=24,
             min_warmup_s=8 if rep == 0 else 0, warmup=2) * 1e3, 2))
     emit(part="upsample_ab", **res)
 
@@ -372,8 +373,9 @@ def stage_depth_breakdown():
     bb = CNNEncoder(output_dim=128, num_output_scales=1)
     pbb = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                       bb.init(jax.random.PRNGKey(0), jnp.concatenate([img0, img1], 0)))
+    xcat = jnp.concatenate([img0, img1], 0)
     res["backbone_ms"] = round(time_chained(
-        lambda: bb.apply(pbb, jnp.concatenate([img0, img1], 0))[-1], n=24,
+        lambda p, t: bb.apply(p, t)[-1], pbb, xcat, n=24,
         min_warmup_s=8, warmup=2) * 1e3, 2)
 
     tr = FeatureTransformer(num_layers=6, d_model=128, ffn_dim_expansion=4)
@@ -381,16 +383,16 @@ def stage_depth_breakdown():
                       tr.init(jax.random.PRNGKey(0), f0, f1,
                               attn_type="swin", attn_num_splits=2))
     res["transformer_ms"] = round(time_chained(
-        lambda: tr.apply(ptr, f0, f1, attn_type="swin", attn_num_splits=2)[0],
-        n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
+        lambda p, a, b: tr.apply(p, a, b, attn_type="swin", attn_num_splits=2)[0],
+        ptr, f0, f1, n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
 
     cand = jnp.broadcast_to(
         jnp.linspace(infer.min_depth, infer.max_depth, 64, dtype=jnp.float32)[None, :, None, None],
         (1, 64, fh, fw),
     )
     res["plane_sweep_ms"] = round(time_chained(
-        lambda: C.correlation_softmax_depth(f0, f1, Kf, pose, cand)[0],
-        n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
+        lambda a, b, kk, po, cc: C.correlation_softmax_depth(a, b, kk, po, cc)[0],
+        f0, f1, Kf, pose, cand, n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
 
     prop = SelfAttnPropagation(in_channels=c)
     dflow = jnp.asarray(rng.rand(1, fh, fw, 1), jnp.bfloat16)
@@ -398,9 +400,9 @@ def stage_depth_breakdown():
                         prop.init(jax.random.PRNGKey(0), f0, dflow,
                                   local_window_attn=False, local_window_radius=-1))
     res["propagation_ms"] = round(time_chained(
-        lambda: prop.apply(pprop, f0, dflow, local_window_attn=False,
-                           local_window_radius=-1),
-        n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
+        lambda p, a, d: prop.apply(p, a, d, local_window_attn=False,
+                                   local_window_radius=-1),
+        pprop, f0, dflow, n=24, min_warmup_s=8, warmup=2) * 1e3, 2)
 
     emit(part="depth_breakdown", **res)
 

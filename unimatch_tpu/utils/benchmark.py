@@ -29,6 +29,16 @@ def time_chained(fn: Callable, *args, n: int = 20, warmup: int = 3,
     24 ms with count-based warmup only).
     """
 
+    if not args:
+        # a nullary fn jits with every input embedded as a constant, so XLA
+        # constant-folds the whole computation at COMPILE time and the "runs"
+        # time only dispatch (one such lambda also serialized a 1.4 GB folded
+        # correlation volume into the compilation cache). Pass inputs as args.
+        raise ValueError(
+            "time_chained(fn) with no args measures a constant-folded no-op; "
+            "pass the inputs as time_chained(fn, *args)"
+        )
+
     def reduced(*a):
         out = fn(*a)
         leaves = jax.tree.leaves(out)
