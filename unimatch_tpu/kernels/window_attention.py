@@ -373,6 +373,13 @@ def swin_spatial_supported(h: int, w: int, c: int, num_splits: int,
     ns = num_splits
     if (h % ns) or (w % ns):
         return False
+    # Mosaic block alignment: window blocks are (1, wh, ww, C) slices of the
+    # NHWC map, so the last two block dims (ww, C) must be 8/128-divisible.
+    # GMStereo's 384x1248 windows (312/8 = 39, 156/2 = 78 cols) fail this
+    # and MUST fall back to the split form — the unaligned block crashed the
+    # real Mosaic compile (round-4d); CPU tests cannot catch this class.
+    if (w // ns) % 8 or c % 128:
+        return False
     l = (h // ns) * (w // ns)
     kv_bytes = l * 2 * c * jnp.dtype(dtype).itemsize
     return l <= 4096 and kv_bytes <= 6 * 1024 * 1024
