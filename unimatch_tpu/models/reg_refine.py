@@ -63,16 +63,53 @@ def _fuse_gru() -> bool:
     return os.environ.get("UNIMATCH_FUSE_GRU", "1") != "0"
 
 
+def _fuse_head() -> bool:
+    """Dispatch the two-conv heads (FlowHead, upsample-mask head) to the
+    fused Pallas kernel (kernels/head_fused.py): the [*, 256] hidden stays
+    in VMEM and the narrow output writes once in bf16, vs two full sets of
+    f32 tap partials on the XLA path — with the 1-2-channel output's
+    partials lane-padding 2 -> 128 (~64x the logical traffic).
+    UNIMATCH_FUSE_HEAD=0 re-traces the XLA form for A/B."""
+    return os.environ.get("UNIMATCH_FUSE_HEAD", "0") != "0"
+
+
+def _fused_two_conv(scope, x, names, shapes, act1="relu"):
+    """Run the named 2-conv chain through the fused head kernel with the
+    identical param tree; returns None when the kernel doesn't apply."""
+    if not (_fuse_head() and x.dtype == jnp.bfloat16 and x.shape[2] % 8 == 0):
+        return None
+    from unimatch_tpu.kernels import use_pallas
+
+    if not use_pallas():
+        return None
+    from unimatch_tpu.kernels.head_fused import fused_head
+
+    ps = []
+    for name, shape in zip(names, shapes):
+        sc = scope.push(name)
+        ps.append(sc.param("kernel", conv_kaiming_init, shape))
+        ps.append(sc.param("bias", nn.initializers.zeros, (shape[-1],)))
+    k1, b1, k2, b2 = ps
+    return fused_head(x, k1, b1, k2, b2, act1=act1)
+
+
 class FlowHead(nn.Module):
     hidden_dim: int = 256
     out_dim: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = _fused_two_conv(
+            self.scope, x, ("conv1", "conv2"),
+            ((3, 3, x.shape[-1], self.hidden_dim),
+             (3, 3, self.hidden_dim, self.out_dim)),
+        )
+        if out is not None:
+            return out
         y = conv2d(self.hidden_dim, 3, padding=1, act="relu", fuse=_fuse_conv(),
                    name="conv1")(x)
-        # out_dim is 1-2: a 2-lane Pallas output block is MXU/VPU-hostile,
-        # keep the narrow head on the XLA path
+        # out_dim is 1-2: a 2-lane output block lane-pads on the XLA path
+        # too, which is what the fused head kernel above avoids
         return conv2d(self.out_dim, 3, padding=1, name="conv2")(y)
 
 
@@ -213,16 +250,43 @@ class BasicUpdateBlock(nn.Module):
     flow_dim: int = 2
     bilinear_up: bool = False  # depth: no learned mask head
 
+    def mask_head(self, net: jnp.ndarray) -> jnp.ndarray:
+        """Upsample-mask head alone (conv3x3-relu + conv1x1). Separately
+        callable (apply(..., method='mask_head')) so the inference refine
+        scan can skip the mask in its body and compute it ONCE on the final
+        GRU state — inside lax.scan XLA cannot dead-code-eliminate the 5
+        non-final mask heads the way it does in the unrolled form. Scope
+        param access (not submodules): nn.compact allows one compact method,
+        and the param tree must match the __call__ path byte-for-byte."""
+        mask_dim = self.downsample_factor**2 * 9
+        out = _fused_two_conv(
+            self.scope, net, ("mask_0", "mask_2"),
+            ((3, 3, net.shape[-1], 256), (1, 1, 256, mask_dim)),
+        )
+        if out is not None:
+            return out
+        dt = net.dtype
+        sc0 = self.scope.push("mask_0")
+        k1 = sc0.param("kernel", conv_kaiming_init, (3, 3, net.shape[-1], 256))
+        b1 = sc0.param("bias", nn.initializers.zeros, (256,))
+        y = jax.nn.relu(
+            conv_via_matmul(net, k1.astype(dt), (1, 1), (1, 1)) + b1.astype(dt)
+        )
+        sc2 = self.scope.push("mask_2")
+        k2 = sc2.param("kernel", conv_kaiming_init, (1, 1, 256, mask_dim))
+        b2 = sc2.param("bias", nn.initializers.zeros, (mask_dim,))
+        return conv_via_matmul(y, k2.astype(dt), (1, 1), (0, 0)) + b2.astype(dt)
+
     @nn.compact
     def __call__(
-        self, net: jnp.ndarray, inp: jnp.ndarray, corr: jnp.ndarray, flow: jnp.ndarray
+        self, net: jnp.ndarray, inp: jnp.ndarray, corr: jnp.ndarray, flow: jnp.ndarray,
+        with_mask: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
         motion_parts = BasicMotionEncoder(flow_channels=self.flow_dim, name="encoder")(flow, corr)
         net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, [inp] + motion_parts)
         delta = FlowHead(hidden_dim=256, out_dim=self.flow_dim, name="flow_head")(net)
 
         mask = None
-        if not self.bilinear_up:
-            m = conv2d(256, 3, padding=1, act="relu", fuse=_fuse_conv(), name="mask_0")(net)
-            mask = conv2d(self.downsample_factor**2 * 9, 1, name="mask_2")(m)
+        if not self.bilinear_up and with_mask:
+            mask = self.mask_head(net)
         return net, mask, delta
