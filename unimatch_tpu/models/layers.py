@@ -65,6 +65,26 @@ def _use_lax_conv() -> bool:
     return os.environ.get("UNIMATCH_CONV_LAX", "0") != "0"
 
 
+def _bf16_partials(x: jnp.ndarray, out_dtype) -> bool:
+    """A/B lever (UNIMATCH_CONV_BF16_PARTIALS): store the K shifted-matmul
+    tap partials in bf16 instead of f32.
+
+    The measured cost of the matmul-lowered conv is the partial-sum HBM
+    round-trip (K x [N, Cout] f32 write+read — ~470 MB for a 3x3 256->192
+    conv at 112x256, which predicts the observed 1.47 ms almost exactly,
+    docs/PERF_NOTES.md). Narrowing the partials halves that traffic; each
+    tap is still MXU-computed in f32 and rounded once, so the added error is
+    one bf16 rounding per tap plus the bf16 accumulation walk (~K^0.5 ulp),
+    on inputs that already carry bf16 rounding. Only applies to bf16 inputs
+    when the caller has not requested the raw f32 accumulator (fused IN).
+    """
+    return (
+        x.dtype == jnp.bfloat16
+        and out_dtype != jnp.float32
+        and os.environ.get("UNIMATCH_CONV_BF16_PARTIALS", "0") != "0"
+    )
+
+
 def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c)."""
     b, h, w, c = x.shape
@@ -128,6 +148,7 @@ def conv_via_matmul(
                 "bhwc,co->bhwo", cols, kernel.reshape(kh * kw * cin, cout),
                 preferred_element_type=jnp.float32,
             ).astype(out_dtype)
+        narrow = _bf16_partials(x, out_dtype)
         acc = None
         for u in range(kh):
             for v in range(kw):
@@ -137,6 +158,8 @@ def conv_via_matmul(
                     kernel[u, v],
                     preferred_element_type=jnp.float32,
                 )
+                if narrow:
+                    part = part.astype(jnp.bfloat16)
                 acc = part if acc is None else acc + part
         return acc.astype(out_dtype)
 
@@ -172,6 +195,7 @@ def conv_via_matmul(
     # matmul measured 4x SLOWER than the per-cell accumulation below (the
     # sub-128-channel cell slices lane-pad and the concat relayouts): keep
     # the per-cell matmuls.
+    narrow = _bf16_partials(x, out_dtype)
     acc = None
     for a in range(na):
         for bb in range(nb):
@@ -182,6 +206,8 @@ def conv_via_matmul(
             k2 = cell_kernel(a, bb)
             sl = xs[:, a : a + oh, bb : bb + ow, :]
             part = jnp.einsum("bhwc,co->bhwo", sl, k2, preferred_element_type=jnp.float32)
+            if narrow:
+                part = part.astype(jnp.bfloat16)
             acc = part if acc is None else acc + part
     return acc.astype(out_dtype)
 
