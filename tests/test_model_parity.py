@@ -244,3 +244,40 @@ def test_param_count_matches_reference():
     assert init_paths == want_paths, (
         sorted(init_paths - want_paths), sorted(want_paths - init_paths)
     )
+
+
+def test_refine_scan_matches_python_loop(rng, monkeypatch):
+    """UNIMATCH_REFINE_SCAN path (incl. the mask-head-on-final-state hoist)
+    == the unrolled Python loop, at inference (one upsampled pred) and in
+    training mode (per-iteration deep-supervision preds with masks)."""
+    cfg = ModelConfig(task="flow", num_scales=2, upsample_factor=4, reg_refine=True)
+    infer = InferenceConfig(
+        attn_splits_list=(2, 2), corr_radius_list=(-1, 4), prop_radius_list=(-1, 1),
+        num_reg_refine=2,
+    )
+    img0, img1 = _build_pair(rng, h=64, w=96, scale=255.0)
+    model = _jax_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img0), jnp.asarray(img1), infer=infer
+    )
+
+    for training in (False, True):
+        monkeypatch.setenv("UNIMATCH_REFINE_SCAN", "0")
+        want = model.apply(
+            params, jnp.asarray(img0), jnp.asarray(img1), infer=infer,
+            training=training,
+        )["flow_preds"]
+        monkeypatch.setenv("UNIMATCH_REFINE_SCAN", "1")
+        got = model.apply(
+            params, jnp.asarray(img0), jnp.asarray(img1), infer=infer,
+            training=training,
+        )["flow_preds"]
+        assert len(got) == len(want)
+        for i, (g, wnt) in enumerate(zip(got, want)):
+            # scan and unrolled compile to different fusion/reduction orders;
+            # f32 drift through 2 refine iterations + convex upsample is a
+            # few 1e-3 on O(20) values
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(wnt), rtol=1e-3, atol=2e-2,
+                err_msg=f"training={training} pred {i}",
+            )

@@ -373,3 +373,109 @@ def test_upsample_fused_kernel_matches_reference(rng):
         ref = _reference(flow, mask, k, is_depth)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
+
+
+@pytest.mark.smoke
+def test_fused_head_matches_reference(rng):
+    """Fused two-conv head (interpret) == conv3x3 -> relu -> conv KxK chain,
+    at both head forms (flow: 3x3 cout 2; mask: 1x1 cout 144) and at a
+    height that is not a band multiple."""
+    from unimatch_tpu.kernels.head_fused import fused_head, _reference_head
+
+    for (kh2, kw2, cout) in ((3, 3, 2), (1, 1, 144)):
+        b, h, w, cin, chid = 1, 19, 24, 128, 256
+        x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+        k1 = jnp.asarray(rng.randn(3, 3, cin, chid).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.randn(chid).astype(np.float32) * 0.1)
+        k2 = jnp.asarray(rng.randn(kh2, kw2, chid, cout).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+
+        got = fused_head(x, k1, b1, k2, b2, interpret=True)
+        want = _reference_head(x, k1, b1, k2, b2, 3, 3, kh2, kw2, "relu")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"k2={kh2}x{kw2} cout={cout}",
+        )
+
+
+def test_flow_head_fused_dispatch(rng, monkeypatch):
+    """UNIMATCH_FUSE_HEAD routes FlowHead + mask head through the kernel's
+    reference twin on CPU with an identical param tree."""
+    from unimatch_tpu.models.reg_refine import BasicUpdateBlock
+
+    b, h, w = 1, 16, 24
+    net = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
+    inp = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
+    corr = jnp.asarray(rng.randn(b, h, w, 81), jnp.bfloat16)
+    flow = jnp.asarray(rng.randn(b, h, w, 2), jnp.bfloat16)
+    blk = BasicUpdateBlock(downsample_factor=4, flow_dim=2, bilinear_up=False)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_HEAD", "0")
+    params = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    _, want_mask, want_delta = blk.apply(params, net, inp, corr, flow)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_HEAD", "1")
+    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
+    params2 = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+    assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(lambda a: a.shape, params2)
+    _, got_mask, got_delta = blk.apply(params, net, inp, corr, flow)
+    # twin adds bias in f32 before the bf16 cast; the unfused chain adds it
+    # in bf16 — pure bf16 rounding, so the bound is relative
+    np.testing.assert_allclose(
+        np.asarray(got_delta.astype(jnp.float32)),
+        np.asarray(want_delta.astype(jnp.float32)), rtol=0.05, atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(got_mask.astype(jnp.float32)),
+        np.asarray(want_mask.astype(jnp.float32)), rtol=0.05, atol=0.1)
+
+
+def test_conv_bf16_partials_close(rng, monkeypatch):
+    """UNIMATCH_CONV_BF16_PARTIALS: bf16 tap-partial accumulation stays
+    within bf16 random-walk distance of the f32-partial form (stride 1 and
+    the space-to-depth strided path), and is a no-op for f32 inputs."""
+    from unimatch_tpu.models.layers import conv_via_matmul
+
+    x = jnp.asarray(rng.randn(1, 16, 24, 64), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 64, 96).astype(np.float32) * 0.1, jnp.bfloat16)
+    xs = jnp.asarray(rng.randn(1, 17, 25, 8), jnp.bfloat16)
+    ks = jnp.asarray(rng.randn(7, 7, 8, 32).astype(np.float32) * 0.1, jnp.bfloat16)
+
+    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "0")
+    want = conv_via_matmul(x, k, (1, 1), (1, 1)).astype(jnp.float32)
+    want_s = conv_via_matmul(xs, ks, (2, 2), (3, 3)).astype(jnp.float32)
+
+    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "1")
+    got = conv_via_matmul(x, k, (1, 1), (1, 1)).astype(jnp.float32)
+    got_s = conv_via_matmul(xs, ks, (2, 2), (3, 3)).astype(jnp.float32)
+
+    # K bf16 roundings on O(1)-scale sums: allow a few bf16 ulp
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.2)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=0.2)
+    assert not np.array_equal(np.asarray(got), np.asarray(want))  # lever is live
+
+    xf = x.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "0")
+    want_f = conv_via_matmul(xf, kf, (1, 1), (1, 1))
+    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "1")
+    got_f = conv_via_matmul(xf, kf, (1, 1), (1, 1))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_swin_spatial_gate_rejects_unaligned_windows():
+    """The spatial swin kernel's support gate must reject window widths that
+    are not 8-aligned (Mosaic block constraint): GMStereo's 384x1248 shapes
+    (312/8 = 39, 156/2 = 78 cols) crashed the real Mosaic compile when the
+    gate passed them (round 4d). CPU interpret tests cannot catch this."""
+    from unimatch_tpu.kernels.window_attention import swin_spatial_supported
+
+    # flagship / depth / scale1 shapes stay on the kernel
+    assert swin_spatial_supported(112, 256, 128, 8, jnp.bfloat16)
+    assert swin_spatial_supported(56, 128, 128, 2, jnp.bfloat16)
+    assert swin_spatial_supported(60, 80, 128, 2, jnp.bfloat16)
+    # stereo shapes fall back to the split form
+    assert not swin_spatial_supported(96, 312, 128, 8, jnp.bfloat16)
+    assert not swin_spatial_supported(48, 156, 128, 2, jnp.bfloat16)
+    # non-lane-aligned channel count falls back too
+    assert not swin_spatial_supported(112, 256, 96, 8, jnp.bfloat16)

@@ -370,24 +370,38 @@ class UniMatch(nn.Module):
                         refine_def = self.refine.clone(parent=None)
                         refine_vars = {"params": self.variables["params"]["refine"]}
 
-                        def _scan_body(carry_flow, _):
-                            f = jax.lax.stop_gradient(carry_flow)
+                        def _scan_body(carry, _):
+                            f, _net_prev = carry
+                            f = jax.lax.stop_gradient(f)
                             if task == "stereo":
                                 disp = jnp.concatenate([-f, jnp.zeros_like(f)], axis=-1)
                                 corr_ = _refine_corr(disp)
                             else:
                                 corr_ = _refine_corr(f)
-                            _, mask_, residual_ = refine_def.apply(
-                                refine_vars, net0, inp, corr_, f
+                            # mask head only when every iteration's mask is
+                            # consumed (training deep supervision): inside
+                            # scan XLA cannot DCE the non-final mask heads
+                            # like it does in the unrolled loop, so at
+                            # inference the body skips them and the mask is
+                            # computed ONCE below on the final GRU state
+                            net_, mask_, residual_ = refine_def.apply(
+                                refine_vars, net0, inp, corr_, f,
+                                with_mask=training,
                             )
                             f = f + residual_
                             if task == "stereo":
                                 f = jnp.maximum(f, 0.0)
-                            return f, (f, mask_, residual_)
+                            ys = (f, mask_, residual_) if training else (f, residual_)
+                            return (f, net_), ys
 
-                        flow, (iter_flows, iter_masks, iter_residuals) = jax.lax.scan(
-                            _scan_body, flow, xs=None, length=infer.num_reg_refine
+                        (flow, net_last), scan_ys = jax.lax.scan(
+                            _scan_body, (flow, net0), xs=None,
+                            length=infer.num_reg_refine,
                         )
+                        if training:
+                            iter_flows, iter_masks, iter_residuals = scan_ys
+                        else:
+                            iter_flows, iter_residuals = scan_ys
                         # per-iteration residuals for parity instrumentation:
                         # the inner refine_def.apply is invisible to the outer
                         # apply's capture_intermediates, so expose the stacked
@@ -407,7 +421,10 @@ class UniMatch(nn.Module):
                         else:
                             flow_preds.append(
                                 upsample_with_mask(
-                                    iter_flows[-1], iter_masks[-1],
+                                    iter_flows[-1],
+                                    refine_def.apply(
+                                        refine_vars, net_last, method="mask_head"
+                                    ),
                                     cfg.upsample_factor, is_depth=False,
                                 )
                             )
