@@ -42,7 +42,6 @@ def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, ry: int, rx: int, h: int,
     O((2ry+1)(2rx+1)).
     """
     f0 = f0_ref[0].astype(jnp.float32)  # [T, WC, C]
-    band = f1b_ref[0, 0, 0]  # [T+2ry, WCpad, C]
 
     row0 = pl.program_id(1) * t
     col0 = pl.program_id(2) * wc
@@ -59,7 +58,11 @@ def _kernel(f0_ref, f1b_ref, fx_ref, fy_ref, *, ry: int, rx: int, h: int,
 
     def body(dy, carry):
         m, s, fx, fy = carry
-        bandy = jax.lax.dynamic_slice_in_dim(band, dy, t, axis=0)  # [T, WCpad, C]
+        # dynamic row-base load from the REF (pl.dslice): Mosaic has no
+        # lowering for lax.dynamic_slice on a loaded VALUE (round-4d
+        # NotImplementedError) — dynamic indexing must happen at the memory
+        # access, and only on a major dim
+        bandy = f1b_ref[0, 0, 0, pl.dslice(dy, t), :, :]  # [T, WCpad, C]
         offy = (dy - ry).astype(jnp.float32)
         rowy = rows + (dy - ry)
         rvalid = (rowy >= 0) & (rowy < h)
