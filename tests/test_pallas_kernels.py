@@ -479,3 +479,28 @@ def test_swin_spatial_gate_rejects_unaligned_windows():
     assert not swin_spatial_supported(48, 156, 128, 2, jnp.bfloat16)
     # non-lane-aligned channel count falls back too
     assert not swin_spatial_supported(112, 256, 96, 8, jnp.bfloat16)
+
+
+@pytest.mark.smoke
+def test_corr_volume_lookup_narrow_matches_reference(rng, monkeypatch):
+    """UNIMATCH_LOOKUP_NARROW (512-lane shift/select after the y-align)
+    == the full-width form == the jnp reference."""
+    from unimatch_tpu.kernels.corr_volume import lookup_select_blend, _lookup_reference
+
+    monkeypatch.setenv("UNIMATCH_LOOKUP_NARROW", "1")
+    n, k = 333, 9
+    g = jnp.asarray(rng.randn(4, n, 256).astype(np.float32))
+    sc = jnp.asarray(
+        np.stack(
+            [
+                rng.randint(0, 16, n).astype(np.float32),
+                rng.randint(0, 16, n).astype(np.float32),
+                rng.rand(n).astype(np.float32),
+                rng.rand(n).astype(np.float32),
+            ],
+            axis=-1,
+        )
+    )
+    got = lookup_select_blend(g, sc, k, 0.125, jnp.float32, block_p=128, interpret=True)
+    want = _lookup_reference(g, sc, k, 0.125, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)

@@ -166,7 +166,8 @@ def _var_shift_left(x: jnp.ndarray, val: jnp.ndarray, unit: int) -> jnp.ndarray:
     return x
 
 
-def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float):
+def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float,
+                   narrow: bool = False):
     """Reshape-free select/blend on gathered 2x2 unit spans.
 
     Lane layout (Mosaic rejects in-kernel minor reshapes, so everything is
@@ -199,13 +200,25 @@ def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float):
 
     # y-align: row (remy + dy) of both halves lands at lane 16*dy + c
     span = _var_shift_left(span, remy, TILE)
+    if narrow:
+        # only rows 0..kk-1 of each half are read from here on (kk <= 16
+        # -> lanes < 256 of the left half, < 256 of the right half): slice
+        # both halves to 256 lanes (128-aligned cuts) so the remaining 4
+        # x-shift stages, the straddle copy, and the bilinear blend run on
+        # 512 lanes instead of 1024 — the shift/select stages are the
+        # kernel's VPU cost. The x-shift never pulls the (corrupted) seam
+        # at lane 256-remx into a read lane: taps live at 16dy+dx <= 153.
+        span = jnp.concatenate([span[:, :256], span[:, 512:768]], axis=1)
+        straddle = 256 - TILE
+    else:
+        straddle = 512 - TILE
     # x-align: col (remx + dx) -> lane 16*dy + dx. In-row when
     # remx + dx < 16; straddling columns live in the right half at a static
-    # +496 offset after the same remx shift.
+    # offset (half-size - TILE) after the same remx shift.
     a = _var_shift_left(span, remx, 1)
-    b = _shift_left(a, 512 - TILE)
+    b = _shift_left(a, straddle)
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) % TILE
-    cp = jnp.where(col + remx < TILE, a, b)  # [BP, 1024]; tap (dy,dx) at 16dy+dx
+    cp = jnp.where(col + remx < TILE, a, b)  # tap (dy,dx) at lane 16dy+dx
 
     c00 = cp
     c01 = _shift_left(cp, 1)
@@ -228,14 +241,19 @@ def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float):
 
 @functools.partial(jax.jit, static_argnames=("k", "scale", "out_dtype", "block_p", "interpret"))
 def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False):
+    import os
+
     n = g.shape[1]
     kk = k + 1
+    # narrowed shift/select variant (half the VPU lanes after the y-align);
+    # requires the taps to fit the sliced 256-lane halves
+    narrow = kk <= TILE and os.environ.get("UNIMATCH_LOOKUP_NARROW", "0") != "0"
     npad = -(-n // block_p) * block_p
     if npad != n:
         g = jnp.pad(g, ((0, 0), (0, npad - n), (0, 0)))
         sc = jnp.pad(sc, ((0, npad - n), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_lookup_kernel, k=k, scale=scale),
+        functools.partial(_lookup_kernel, k=k, scale=scale, narrow=narrow),
         grid=(npad // block_p,),
         in_specs=[
             pl.BlockSpec((4, block_p, TILE**2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
