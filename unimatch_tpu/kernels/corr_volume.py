@@ -239,15 +239,16 @@ def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float,
     o_ref[...] = jnp.where(valid, corr, jnp.zeros((), dt))[:, : o_ref.shape[1]]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "scale", "out_dtype", "block_p", "interpret"))
-def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False):
-    import os
-
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "scale", "out_dtype", "block_p", "interpret", "narrow"),
+)
+def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False,
+                 narrow=False):
     n = g.shape[1]
     kk = k + 1
-    # narrowed shift/select variant (half the VPU lanes after the y-align);
-    # requires the taps to fit the sliced 256-lane halves
-    narrow = kk <= TILE and os.environ.get("UNIMATCH_LOOKUP_NARROW", "0") != "0"
+    # narrow requires the taps to fit the sliced 256-lane halves
+    narrow = narrow and kk <= TILE
     npad = -(-n // block_p) * block_p
     if npad != n:
         g = jnp.pad(g, ((0, 0), (0, npad - n), (0, 0)))
@@ -307,10 +308,11 @@ def _lookup_reference(g, sc, k, scale, out_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _lookup_with_vjp(k, scale, out_dtype, block_p):
+def _lookup_with_vjp(k, scale, out_dtype, block_p, narrow=False):
     @jax.custom_vjp
     def f(g, sc):
-        return _lookup_impl(g, sc, k, scale, out_dtype, block_p=block_p)
+        return _lookup_impl(g, sc, k, scale, out_dtype, block_p=block_p,
+                            narrow=narrow)
 
     def fwd(g, sc):
         return f(g, sc), (g, sc)
@@ -337,8 +339,15 @@ def lookup_select_blend(g: jnp.ndarray, sc: jnp.ndarray, k: int, scale: float,
     unused lanes zero) — callers compact via
     reshape(..., k+1, TILE)[:, :k, :k].
     """
+    # env read stays OUTSIDE the jitted impl: an env-dependent branch inside
+    # a jitted function is baked into its trace cache, so later flag flips
+    # would silently reuse the wrong variant
+    import os
+
+    narrow = os.environ.get("UNIMATCH_LOOKUP_NARROW", "0") != "0"
     if interpret:
-        return _lookup_impl(g, sc, k, scale, out_dtype, block_p=block_p, interpret=True)
+        return _lookup_impl(g, sc, k, scale, out_dtype, block_p=block_p,
+                            interpret=True, narrow=narrow)
     if jax.default_backend() == "cpu":
         return _lookup_reference(g, sc, k, scale, out_dtype)
-    return _lookup_with_vjp(k, scale, jnp.dtype(out_dtype), block_p)(g, sc)
+    return _lookup_with_vjp(k, scale, jnp.dtype(out_dtype), block_p, narrow)(g, sc)
