@@ -341,10 +341,12 @@ def lookup_select_blend(g: jnp.ndarray, sc: jnp.ndarray, k: int, scale: float,
     """
     # env read stays OUTSIDE the jitted impl: an env-dependent branch inside
     # a jitted function is baked into its trace cache, so later flag flips
-    # would silently reuse the wrong variant
+    # would silently reuse the wrong variant. Default ON since round 4e:
+    # flagship 57.5-57.7 vs 58.0-58.3 ms, isolated build+6 20.2 vs 21.1,
+    # on-chip parity EXACT 0.0 (docs/PERF_NOTES.md).
     import os
 
-    narrow = os.environ.get("UNIMATCH_LOOKUP_NARROW", "0") != "0"
+    narrow = os.environ.get("UNIMATCH_LOOKUP_NARROW", "1") != "0"
     if interpret:
         return _lookup_impl(g, sc, k, scale, out_dtype, block_p=block_p,
                             interpret=True, narrow=narrow)

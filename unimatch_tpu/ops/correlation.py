@@ -145,9 +145,11 @@ def local_correlation_softmax_flow(
     (models/unimatch.py discards the prob output). Dispatches to the fused
     streaming-softmax kernel (kernels/local_corr.py) on TPU: the XLA form's
     extract_patches materializes [B, H, W, K*K, C] (~594 MB at the flagship
-    scale-1 shape) for a 4.6 MB result. UNIMATCH_FUSE_LOCAL_CORR gates the
-    kernel (off until measured on chip)."""
-    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR", "0") != "0":
+    scale-1 shape) for a 4.6 MB result. Default ON since round 4e: flagship
+    forward 56.6-56.8 vs 58.0-58.3 ms (interleaved), isolated 1.85 vs
+    3.36 ms, on-chip parity 0.0065 on 2.73 absmax (docs/PERF_NOTES.md).
+    UNIMATCH_FUSE_LOCAL_CORR=0 re-traces the XLA form for A/B."""
+    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR", "1") != "0":
         from unimatch_tpu.kernels import use_pallas
 
         if use_pallas():
@@ -612,9 +614,12 @@ def local_correlation_softmax_stereo_disp(
 ) -> jnp.ndarray:
     """Disparity-only 1-D local matching — what the model consumes
     (models/unimatch.py discards the prob output). Dispatches to the fused
-    streaming-softmax kernel (kernels/local_corr.py, ry=0) behind
-    UNIMATCH_FUSE_LOCAL_CORR."""
-    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR", "0") != "0":
+    streaming-softmax kernel (kernels/local_corr.py, ry=0) behind its OWN
+    flag UNIMATCH_FUSE_LOCAL_CORR_1D (default off): the 1-D form has not
+    compiled on real Mosaic yet, and sharing the 2-D flag would put stereo
+    on an untested path when that flag defaulted on (the exact failure mode
+    the round-4d swin-gate bug demonstrated)."""
+    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR_1D", "0") != "0":
         from unimatch_tpu.kernels import use_pallas
 
         if use_pallas():
