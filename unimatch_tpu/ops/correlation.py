@@ -615,11 +615,11 @@ def local_correlation_softmax_stereo_disp(
     """Disparity-only 1-D local matching — what the model consumes
     (models/unimatch.py discards the prob output). Dispatches to the fused
     streaming-softmax kernel (kernels/local_corr.py, ry=0) behind its OWN
-    flag UNIMATCH_FUSE_LOCAL_CORR_1D (default off): the 1-D form has not
-    compiled on real Mosaic yet, and sharing the 2-D flag would put stereo
-    on an untested path when that flag defaulted on (the exact failure mode
-    the round-4d swin-gate bug demonstrated)."""
-    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR_1D", "0") != "0":
+    flag UNIMATCH_FUSE_LOCAL_CORR_1D, default ON since round 4f: on-chip
+    Mosaic compile confirmed, end-to-end parity 9.8e-6 on 3.70 absmax, and
+    the gmstereo-regrefine3 A/B wins 44.8 vs 45.0-45.5 ms
+    (docs/artifacts_round4_tpu.jsonl, session_r4f)."""
+    if os.environ.get("UNIMATCH_FUSE_LOCAL_CORR_1D", "1") != "0":
         from unimatch_tpu.kernels import use_pallas
 
         if use_pallas():
