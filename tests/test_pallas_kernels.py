@@ -504,3 +504,82 @@ def test_corr_volume_lookup_narrow_matches_reference(rng, monkeypatch):
     got = lookup_select_blend(g, sc, k, 0.125, jnp.float32, block_p=128, interpret=True)
     want = _lookup_reference(g, sc, k, 0.125, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.smoke
+def test_fused_update_matches_reference(rng):
+    """Two-kernel fused update step (interpret) == the composition of the
+    per-piece reference twins (motion -> GRU h/v -> head), fd in {2, 1},
+    odd extents exercising row-band and column padding."""
+    from unimatch_tpu.kernels.update_fused import fused_update, _reference_update
+
+    for fd in (2, 1):
+        b, h, w, hd, ck = 1, 19, 26, 128, 81
+        net = jnp.asarray(rng.randn(b, h, w, hd).astype(np.float32))
+        inp = jnp.asarray(rng.randn(b, h, w, hd).astype(np.float32))
+        corr = jnp.asarray(rng.randn(b, h, w, ck).astype(np.float32))
+        flow = jnp.asarray((rng.randn(b, h, w, fd) * 3).astype(np.float32))
+
+        mw = tuple(
+            jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05)
+            for s in ((1, 1, ck, 256), (3, 3, 256, 192), (7, 7, fd, 128),
+                      (3, 3, 128, 64), (3, 3, 256, 128 - fd))
+        )
+        mb = tuple(
+            jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
+            for n in (256, 128, 192, 64, 128 - fd)
+        )
+        gs = []
+        for ksz in ((1, 5), (5, 1)):
+            kx = jnp.asarray(rng.randn(*ksz, 2 * hd, 3 * hd).astype(np.float32) * 0.05)
+            khzr = jnp.asarray(rng.randn(*ksz, hd, 2 * hd).astype(np.float32) * 0.05)
+            kqh = jnp.asarray(rng.randn(*ksz, hd, hd).astype(np.float32) * 0.05)
+            bzrq = jnp.asarray(rng.randn(3, hd).astype(np.float32) * 0.1)
+            gs.append((kx, khzr, kqh, bzrq))
+        hk1 = jnp.asarray(rng.randn(3, 3, hd, 256).astype(np.float32) * 0.05)
+        hb1 = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
+        hk2 = jnp.asarray(rng.randn(3, 3, 256, fd).astype(np.float32) * 0.05)
+        hb2 = jnp.asarray(rng.randn(fd).astype(np.float32) * 0.1)
+
+        got_h, got_d = fused_update(net, inp, corr, flow, mw, mb, gs[0], gs[1],
+                                    hk1, hb1, hk2, hb2, interpret=True)
+        want_h, want_d = _reference_update(net, inp, corr, flow, mw, mb,
+                                           gs[0], gs[1], hk1, hb1, hk2, hb2, fd)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"h fd={fd}")
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   rtol=1e-4, atol=2e-4, err_msg=f"delta fd={fd}")
+
+
+def test_update_block_fused_dispatch(rng, monkeypatch):
+    """UNIMATCH_FUSE_UPDATE routes BasicUpdateBlock (with_mask=False)
+    through the whole-step kernel's reference twin on CPU with an identical
+    param tree; values match the per-module path."""
+    from unimatch_tpu.models.reg_refine import BasicUpdateBlock
+
+    b, h, w = 1, 12, 18
+    net = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
+    inp = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
+    corr = jnp.asarray(rng.randn(b, h, w, 81), jnp.bfloat16)
+    flow = jnp.asarray(rng.randn(b, h, w, 2) * 2, jnp.bfloat16)
+    blk = BasicUpdateBlock(downsample_factor=8, flow_dim=2)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_UPDATE", "0")
+    params = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    want_net, _, want_delta = blk.apply(params, net, inp, corr, flow, with_mask=False)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_UPDATE", "1")
+    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
+    got_net, got_mask, got_delta = blk.apply(
+        params, net, inp, corr, flow, with_mask=False
+    )
+    assert got_mask is None
+    # bf16 graphs with differently-associated convs; GRU output bounded
+    np.testing.assert_allclose(
+        np.asarray(got_net, np.float32), np.asarray(want_net, np.float32), atol=0.08
+    )
+    # delta values span +-8 here; 0.2 is ~3 bf16 ulps at that magnitude
+    np.testing.assert_allclose(
+        np.asarray(got_delta, np.float32), np.asarray(want_delta, np.float32), atol=0.2
+    )

@@ -1,0 +1,515 @@
+"""Fused refine update-step Pallas kernels (two calls per iteration).
+
+The refine loop's update net (reference unimatch/reg_refine.py:56-119:
+BasicMotionEncoder -> SepConvGRU -> FlowHead) currently runs as FOUR
+pallas_calls per iteration (motion, GRU horizontal, GRU vertical, + the XLA
+flow head) with the motion features, the GRU x-concat, and the mid-GRU
+hidden state each round-tripping HBM between them. In-situ the update net
+is ~19 ms of the 56 ms flagship forward (docs/PERF_NOTES.md round-4d stage
+breakdown) against a sub-ms compute/memory bound — the cost is dominated by
+kernel boundaries, not work. Here the whole step is TWO kernels split at
+the only true row-dependency boundary (the vertical GRU pass needs
+horizontal-pass outputs from neighbouring row bands):
+
+  kernel A: motion-encoder conv chain + GRU horizontal (1xK) pass
+            -> h1, motion                  (band halo: motion's +-2 rows)
+  kernel B: GRU vertical (Kx1) pass + FlowHead
+            -> h', delta                   (band halo: 2*pr + head = +-6)
+
+Every intermediate (four motion maps, the 3*hd gate partials, r*h, the
+256-wide head hidden) lives and dies in VMEM. The only per-iteration HBM
+traffic left is: corr+flow pack read, inp/h reads, h1/motion write + banded
+re-read, h'/delta write (~90 MB vs ~500+ MB, and 2 kernel launches vs 4).
+
+Design notes:
+* Kernel A is kernels/motion_fused.py's band layout (im2col'd 7x7, packed
+  256-lane corr|flow input, zero-masked intermediates) with
+  kernels/gru_fused.py's _hkernel appended — the motion band's +-2 pad
+  columns double as the K=5 'same' conv's pr=2 column padding.
+* Kernel B is gru_fused.py's _vkernel with the band halo extended from
+  2*pr to 2*pr + 2 so the head's two 3x3 convs run on in-band rows.
+* The GRU x input ([inp | motion | flow], cin 2*hd) is NEVER concatenated:
+  convolution is linear in cin, so each part stays a separate 128-lane
+  operand/value dotted against an XLA-side zero-extended [K, 128, 3*hd]
+  weight slice. In-kernel lane-concat of non-leading-axis slices and
+  non-8-aligned sublane weight slices are both Mosaic rejections
+  (CLAUDE.md landmines); this sidesteps every one of them. The motion conv
+  itself emits 128 lanes (cout zero-extended 128-fd -> 128), and flow rides
+  a zero-tailed 128-lane map.
+* h'(net) must be masked to zero outside the image before the head convs:
+  out-of-image rows have h = x = 0, but (1-z)*h + z*q = sigmoid(b)-shaped
+  garbage there, and a 'same' conv tap must read ZERO (same rule as the
+  motion kernel's intermediate masks).
+* Tap accumulation f32, one rounding per conv; gate math f32 on rounded
+  sums — matches the separate fused kernels it replaces up to f32 dot-split
+  accumulation order.
+
+pallas_call has no autodiff: training runs the jnp twin's vjp (custom_vjp);
+in practice the dispatch only covers the inference path (with_mask=False).
+
+Reference for what this implements: unimatch/reg_refine.py:56-119 (update
+block), matching the TPU decomposition in models/reg_refine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_HALO_A = 2  # motion chain: stage-2 3x3 + merge 3x3 (7x7 folded via im2col)
+_PR = 2  # GRU K=5 'same' padding radius
+_HALO_B = 2 * _PR + 2  # q-chain halo + the head's two 3x3 convs
+_K = 5
+
+
+def _band_rows(nt: int, T: int, halo2: int) -> jnp.ndarray:
+    return (
+        jnp.arange(nt, dtype=jnp.int32)[:, None] * T
+        + jnp.arange(T + halo2, dtype=jnp.int32)[None, :]
+    )
+
+
+def _mask3(rows, width, row0_global, col0, W, H, dt):
+    """[rows, width, 1] 0/1 mask of the valid image box; iotas 3-D from the
+    start (Mosaic: no minor-dim insertion on non-32-bit vectors)."""
+    gr = jax.lax.broadcasted_iota(jnp.int32, (rows, width, 1), 0) + row0_global
+    gc = jax.lax.broadcasted_iota(jnp.int32, (rows, width, 1), 1)
+    ok = (gr >= 0) & (gr < H) & (gc >= col0) & (gc < col0 + W)
+    return ok.astype(dt)
+
+
+def _conv_band(src, nrows, w_ref, bias, K, rows_out, row0, src_row0, act):
+    """KxK 'same' conv + bias (+ relu) at band rows [row0, row0+rows_out).
+
+    src [nrows, Wp, cin] covers band rows [src_row0, ...). Horizontal taps
+    shift via zero-filled pad/slice of the tap partial (equivalent to zero
+    column padding as long as src is already zero outside the image).
+    cout chunked at 128 to bound the f32 tap partial. Returns f32
+    [rows_out, Wp, cout].
+    """
+    cin = src.shape[-1]
+    Wp = src.shape[-2]
+    cout = w_ref.shape[-1]
+    flat = src.reshape(nrows * Wp, cin)
+    pr = (K - 1) // 2
+    outs = []
+    for c0 in range(0, cout, 128):
+        c1 = min(c0 + 128, cout)
+        acc = None
+        for u in range(K):
+            for v in range(K):
+                part = jax.lax.dot_general(
+                    flat, w_ref[u * K + v, :, c0:c1], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(nrows, Wp, c1 - c0)
+                r0 = row0 - src_row0 - pr + u
+                sl = jax.lax.slice(part, (r0, 0, 0), (r0 + rows_out, Wp, c1 - c0))
+                if v != pr:
+                    sl = jax.lax.slice(
+                        jnp.pad(sl, ((0, 0), (pr, pr), (0, 0))),
+                        (0, v, 0), (rows_out, v + Wp, c1 - c0),
+                    )
+                acc = sl if acc is None else acc + sl
+        acc = acc + bias[c0:c1].astype(jnp.float32)
+        if act:
+            acc = jnp.maximum(acc, 0.0)
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# kernel A: motion encoder + GRU horizontal pass
+# --------------------------------------------------------------------------
+
+
+def _kernel_a(x_ref, flow_ref, inp_ref, h_ref, wc1_ref, wf1_ref, wc2_ref,
+              wf2_ref, wm_ref, mb_ref, kxi_ref, kxm_ref, kxf_ref, khzr_ref,
+              kqh_ref, gb_ref, oh_ref, omot_ref, *, T, W, H, fd, hd, dt):
+    """x (corr|flow-im2col pack) [1,1,T+4,Wp,256]; flow/inp/h [1,T,Wp,*];
+    oh (post-horizontal h) [1,T,W,hd]; omot (motion, zero-tailed to 128
+    lanes) [1,T,W,128].
+
+    Band row r is global row j*T + r - 2; padded columns [2, 2+W) are the
+    image (the motion frame's +-2 columns double as the K=5 pr=2 padding).
+    """
+    j = pl.program_id(1)
+    xb = x_ref[0, 0]
+    Tb, Wp, _ = xb.shape
+
+    def mask(rows, row0):
+        return _mask3(rows, Wp, j * T + row0 - _HALO_A, _HALO_A, W, H, dt)
+
+    bc1 = mb_ref[0, 0]
+    bf1 = mb_ref[0, 1, :128]
+    bc2 = mb_ref[0, 2, :192]
+    bf2 = mb_ref[0, 3, :64]
+    bm = mb_ref[0, 4, :128]  # zero-extended 128-fd -> 128
+
+    # ---- motion encoder (same chain as kernels/motion_fused.py) ----
+    m1 = mask(Tb, 0)
+    cor1 = _conv_band(xb, Tb, wc1_ref, bc1, 1, Tb, 0, 0, True).astype(dt) * m1
+    flo1 = _conv_band(xb, Tb, wf1_ref, bf1, 1, Tb, 0, 0, True).astype(dt) * m1
+    m2 = mask(T + 2, 1)
+    cor2 = _conv_band(cor1, Tb, wc2_ref, bc2, 3, T + 2, 1, 0, True).astype(dt) * m2
+    flo2 = _conv_band(flo1, Tb, wf2_ref, bf2, 3, T + 2, 1, 0, True).astype(dt) * m2
+    merged = jnp.concatenate([cor2, flo2], axis=-1)  # [T+2, Wp, 256]
+    m3 = mask(T, 2)
+    motion = (
+        _conv_band(merged, T + 2, wm_ref, bm, 3, T, 2, 1, True).astype(dt) * m3
+    )  # [T, Wp, 128]; lanes >= 128-fd are zero (zero-extended wm/bias)
+
+    # ---- GRU horizontal (1xK) pass, gru_fused._hkernel logic; the x input
+    # [inp | motion | flow] stays three separate 128-lane dots ----
+    flowf = flow_ref[0].reshape(T * Wp, 128)
+    inpf = inp_ref[0].reshape(T * Wp, hd)
+    motf = motion.reshape(T * Wp, 128)
+    hf = h_ref[0].reshape(T * Wp, hd)
+    xparts = ((inpf, kxi_ref), (motf, kxm_ref), (flowf, kxf_ref))
+
+    def conv_w(parts, off):
+        acc = None
+        for k in range(_K):
+            for flat, w_ref in parts:
+                part = jax.lax.dot_general(
+                    flat, w_ref[k, :, off : off + hd],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                ).reshape(T, Wp, hd)
+                sl = jax.lax.slice(part, (0, k, 0), (T, k + W, hd))
+                acc = sl if acc is None else acc + sl
+        return acc
+
+    xz = conv_w(xparts, 0).astype(dt).astype(jnp.float32)
+    xr = conv_w(xparts, hd).astype(dt).astype(jnp.float32)
+    xq = conv_w(xparts, 2 * hd).astype(dt).astype(jnp.float32)
+    hz = conv_w(((hf, khzr_ref),), 0).astype(dt).astype(jnp.float32)
+    hr = conv_w(((hf, khzr_ref),), hd).astype(dt).astype(jnp.float32)
+
+    z = jax.nn.sigmoid(hz + xz + gb_ref[0, 0].astype(jnp.float32))
+    r = jax.nn.sigmoid(hr + xr + gb_ref[0, 1].astype(jnp.float32))
+    hc = jax.lax.slice(h_ref[0], (0, _PR, 0), (T, _PR + W, hd)).astype(jnp.float32)
+    rhp = jnp.pad((r * hc).astype(dt), ((0, 0), (_PR, Wp - W - _PR), (0, 0)))
+    qh = conv_w(((rhp.reshape(T * Wp, hd), kqh_ref),), 0).astype(dt).astype(jnp.float32)
+    q = jnp.tanh(qh + xq + gb_ref[0, 2].astype(jnp.float32))
+
+    oh_ref[0] = ((1.0 - z) * hc + z * q).astype(oh_ref.dtype)
+    omot_ref[0] = jax.lax.slice(motion, (0, _HALO_A, 0), (T, _HALO_A + W, 128)).astype(
+        omot_ref.dtype
+    )
+
+
+# --------------------------------------------------------------------------
+# kernel B: GRU vertical pass + flow head
+# --------------------------------------------------------------------------
+
+
+def _kernel_b(inp_ref, mot_ref, flow_ref, h_ref, kxi_ref, kxm_ref, kxf_ref,
+              khzr_ref, kqh_ref, gb_ref, hk1_ref, hb1_ref, hk2_ref, hb2_ref,
+              oh_ref, od_ref, *, T, W, H, hd, dt):
+    """Banded inputs [1,1,T+12,Wv,*] (halo 6 rows each side; Wv = align8(W),
+    zero beyond the image). oh (h') [1,T,Wv,hd]; od (delta) [1,T,Wv,128]
+    (head cout zero-padded to lanes). Band row r is global j*T + r - 6.
+    """
+    j = pl.program_id(1)
+    Tb = inp_ref.shape[2]
+    Wv = inp_ref.shape[3]
+    Ti = T + 2 * _PR + 4  # rows where z/r/(r*h) are needed: [-4, T+4)
+    Tn = T + 4  # h' rows needed by the head: [-2, T+2)
+
+    inpf = inp_ref[0, 0].reshape(Tb * Wv, hd)
+    motf = mot_ref[0, 0].reshape(Tb * Wv, 128)
+    flowf = flow_ref[0, 0].reshape(Tb * Wv, 128)
+    hf = h_ref[0, 0].reshape(Tb * Wv, hd)
+    xparts = ((inpf, kxi_ref), (motf, kxm_ref), (flowf, kxf_ref))
+
+    def conv_rows(parts, nrows, off, rows_out, row0):
+        """Kx1 'same' conv at band rows [row0, row0+rows_out)."""
+        acc = None
+        for k in range(_K):
+            for flat, w_ref in parts:
+                part = jax.lax.dot_general(
+                    flat, w_ref[k, :, off : off + hd],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                ).reshape(nrows, Wv, hd)
+                sl = jax.lax.slice(
+                    part, (row0 - _PR + k, 0, 0), (row0 - _PR + k + rows_out, Wv, hd)
+                )
+                acc = sl if acc is None else acc + sl
+        return acc
+
+    xz = conv_rows(xparts, Tb, 0, Ti, _PR).astype(dt).astype(jnp.float32)
+    xr = conv_rows(xparts, Tb, hd, Ti, _PR).astype(dt).astype(jnp.float32)
+    hz = conv_rows(((hf, khzr_ref),), Tb, 0, Ti, _PR).astype(dt).astype(jnp.float32)
+    hr = conv_rows(((hf, khzr_ref),), Tb, hd, Ti, _PR).astype(dt).astype(jnp.float32)
+
+    hi = jax.lax.slice(h_ref[0, 0], (_PR, 0, 0), (_PR + Ti, Wv, hd)).astype(jnp.float32)
+    z_i = jax.nn.sigmoid(hz + xz + gb_ref[0, 0].astype(jnp.float32))
+    r_i = jax.nn.sigmoid(hr + xr + gb_ref[0, 1].astype(jnp.float32))
+    rh = (r_i * hi).astype(dt)  # [Ti, Wv, hd]; rh row i == band row i + 2
+
+    # q at band rows [4, T+8) == rh rows [2, T+6)
+    qh = conv_rows(((rh.reshape(Ti * Wv, hd), kqh_ref),), Ti, 0, Tn, _PR).astype(dt)
+    xq = conv_rows(xparts, Tb, 2 * hd, Tn, 2 * _PR).astype(dt).astype(jnp.float32)
+    q = jnp.tanh(qh.astype(jnp.float32) + xq + gb_ref[0, 2].astype(jnp.float32))
+
+    z_c = jax.lax.slice(z_i, (_PR, 0, 0), (_PR + Tn, Wv, hd))
+    h_c = jax.lax.slice(hi, (_PR, 0, 0), (_PR + Tn, Wv, hd))
+    net = ((1.0 - z_c) * h_c + z_c * q).astype(dt)  # [Tn, Wv, hd]
+
+    # out-of-image h' is sigmoid(b)-shaped garbage (h = x = 0 there); the
+    # head's 'same' conv taps must read zero
+    net = net * _mask3(Tn, Wv, j * T - 2, 0, W, H, dt)
+
+    # ---- flow head: conv3x3 -> relu -> conv3x3 + bias ----
+    hid = _conv_band(net, Tn, hk1_ref, hb1_ref[0], 3, T + 2, 1, 0, True).astype(dt)
+    hid = hid * _mask3(T + 2, Wv, j * T - 1, 0, W, H, dt)
+    delta = _conv_band(hid, T + 2, hk2_ref, hb2_ref[0], 3, T, 1, 0, False)
+
+    oh_ref[0] = jax.lax.slice(net, (2, 0, 0), (2 + T, Wv, hd)).astype(oh_ref.dtype)
+    od_ref[0] = delta.astype(od_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def _pick_t(default: int = 8) -> int:
+    return int(os.environ.get("UNIMATCH_UPDATE_T", str(default)))
+
+
+def _split_kx(kx, hd, fd, dt):
+    """[K, 2*hd, 3*hd] x-side GRU weights -> three zero-extended [K, 128,
+    3*hd] mats for the (inp, motion, flow) parts. The motion part's rows are
+    the cin slice [hd, hd + 128 - fd); its operand is zero on the extended
+    tail lanes, so the extension rows multiply zeros either way."""
+    kx = kx.reshape(_K, 2 * hd, 3 * hd).astype(dt)
+    kxi = kx[:, :hd]
+    kxm = jnp.zeros((_K, 128, 3 * hd), dt).at[:, : 128 - fd].set(
+        kx[:, hd : hd + 128 - fd]
+    )
+    kxf = jnp.zeros((_K, 128, 3 * hd), dt).at[:, :fd].set(kx[:, hd + 128 - fd :])
+    return kxi, kxm, kxf
+
+
+@functools.partial(jax.jit, static_argnames=("fd", "interpret"))
+def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
+                       fd, interpret):
+    """One full update step. mw = (wc1, wc2, wf1, wf2, wm); mb = 5 biases;
+    g1/g2 = (kx, khzr, kqh, bzrq) horizontal/vertical; hk/hb = head convs."""
+    b, h, w, hd = net.shape
+    ck = corr.shape[-1]
+    dt = net.dtype
+    wc1, wc2, wf1, wf2, wm = mw
+    kx1, khzr1, kqh1, bz1 = g1
+    kx2, khzr2, kqh2, bz2 = g2
+
+    T = _pick_t()
+    hp = -(-h // T) * T
+    wp = -(-(w + 2 * _HALO_A) // 8) * 8
+    nt = hp // T
+
+    # ---- kernel A inputs: motion pack (corr | flow im2col), flow, inp, h ----
+    fpad = jnp.pad(flow, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    fim = jnp.concatenate(
+        [fpad[:, u : u + h, v : v + w, :] for u in range(7) for v in range(7)],
+        axis=-1,
+    )
+    x = jnp.concatenate(
+        [
+            jnp.pad(corr, ((0, 0), (0, 0), (0, 0), (0, 128 - ck))),
+            jnp.pad(fim, ((0, 0), (0, 0), (0, 0), (0, 128 - 49 * fd))),
+        ],
+        axis=-1,
+    )
+    x = jnp.pad(
+        x, ((0, 0), (_HALO_A, hp - h + _HALO_A), (_HALO_A, wp - w - _HALO_A), (0, 0))
+    )
+    xb = jnp.take(x, _band_rows(nt, T, 2 * _HALO_A), axis=1)
+
+    def frame(t):  # [B, hp, wp, 128] with the +-2 column frame, zero outside
+        t = jnp.pad(t, ((0, 0),) * 3 + ((0, 128 - t.shape[-1]),))
+        return jnp.pad(
+            t, ((0, 0), (0, hp - h), (_HALO_A, wp - w - _HALO_A), (0, 0))
+        ).astype(dt)
+
+    flow_f = frame(flow)
+    inp_f = frame(inp)
+    h_f = frame(net)
+
+    wc1m = jnp.zeros((256, 256), dt).at[:ck].set(wc1.reshape(ck, 256).astype(dt))
+    wf1m = (
+        jnp.zeros((256, 128), dt)
+        .at[128 : 128 + 49 * fd]
+        .set(wf1.reshape(49 * fd, 128).astype(dt))
+    )
+    wmm = jnp.pad(wm.reshape(9, 256, 128 - fd), ((0, 0), (0, 0), (0, fd))).astype(dt)
+    mbm = jnp.zeros((1, 5, 256), dt)
+    for i, bias in enumerate(mb):
+        mbm = mbm.at[0, i, : bias.shape[0]].set(bias.astype(dt))
+
+    kxi1, kxm1, kxf1 = _split_kx(kx1, hd, fd, dt)
+    khzr1m = khzr1.reshape(_K, hd, 2 * hd).astype(dt)
+    kqh1m = kqh1.reshape(_K, hd, hd).astype(dt)
+    gb1 = bz1.reshape(1, 3, hd).astype(dt)
+
+    h1, mot = pl.pallas_call(
+        functools.partial(_kernel_a, T=T, W=w, H=h, fd=fd, hd=hd, dt=dt),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, T + 2 * _HALO_A, wp, 256), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, T, wp, 128), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, T, wp, 128), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, T, wp, 128), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 256, 256), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 256, 128), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((9, 256, 192), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((9, 128, 64), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((9, 256, 128), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 5, 256), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, hd, 2 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, hd, hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 3, hd), lambda i, j: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, w, hd), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, T, w, 128), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, w, hd), dt),
+            jax.ShapeDtypeStruct((b, hp, w, 128), dt),
+        ],
+        interpret=interpret,
+    )(
+        xb.astype(dt), flow_f, inp_f, h_f,
+        wc1m.reshape(1, 256, 256), wf1m.reshape(1, 256, 128),
+        wc2.reshape(9, 256, 192).astype(dt), wf2.reshape(9, 128, 64).astype(dt),
+        wmm, mbm, kxi1, kxm1, kxf1, khzr1m, kqh1m, gb1,
+    )
+
+    # ---- kernel B: banded inp / motion / flow / h1 with a 6-row halo ----
+    wv = -(-w // 8) * 8
+    halo = _HALO_B
+    rows_b = _band_rows(nt, T, 2 * halo)
+
+    def band(t):
+        t = jnp.pad(t[:, :h, :w], ((0, 0),) * 3 + ((0, 128 - t.shape[-1]),))
+        tp = jnp.pad(t, ((0, 0), (halo, hp - h + halo), (0, wv - w), (0, 0)))
+        return jnp.take(tp, rows_b, axis=1).astype(dt)
+
+    inp_b = band(inp)
+    mot_b = band(mot)
+    flow_b = band(flow)
+    h1_b = band(h1)
+
+    kxi2, kxm2, kxf2 = _split_kx(kx2, hd, fd, dt)
+    khzr2m = khzr2.reshape(_K, hd, 2 * hd).astype(dt)
+    kqh2m = kqh2.reshape(_K, hd, hd).astype(dt)
+    gb2 = bz2.reshape(1, 3, hd).astype(dt)
+    hk1m = hk1.reshape(9, hd, 256).astype(dt)
+    hb1m = hb1.reshape(1, 256).astype(dt)
+    hk2m = jnp.pad(hk2.reshape(9, 256, fd), ((0, 0), (0, 0), (0, 128 - fd))).astype(dt)
+    hb2m = jnp.pad(hb2, (0, 128 - fd)).reshape(1, 128).astype(dt)
+
+    bspec = lambda c: pl.BlockSpec((1, 1, T + 2 * halo, wv, c), lambda i, j: (i, j, 0, 0, 0))
+    h2, delta = pl.pallas_call(
+        functools.partial(_kernel_b, T=T, W=w, H=h, hd=hd, dt=dt),
+        grid=(b, nt),
+        in_specs=[
+            bspec(hd), bspec(128), bspec(128), bspec(hd),
+            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, hd, 2 * hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((_K, hd, hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 3, hd), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((9, hd, 256), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 256), lambda i, j: (0, 0)),
+            pl.BlockSpec((9, 256, 128), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 128), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, wv, hd), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, T, wv, 128), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wv, hd), dt),
+            jax.ShapeDtypeStruct((b, hp, wv, 128), dt),
+        ],
+        interpret=interpret,
+    )(inp_b, mot_b, flow_b, h1_b, kxi2, kxm2, kxf2, khzr2m, kqh2m, gb2,
+      hk1m, hb1m, hk2m, hb2m)
+
+    return h2[:, :h, :w], delta[:, :h, :w, :fd]
+
+
+def _reference_update(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2, fd):
+    """Differentiable jnp twin: the exact composition of the three fused
+    kernels this module replaces (motion twin + two GRU-pass twins + the
+    fused-head twin)."""
+    from unimatch_tpu.kernels.gru_fused import _reference_gru_pass
+    from unimatch_tpu.kernels.head_fused import _reference_head
+    from unimatch_tpu.kernels.motion_fused import _reference_motion
+
+    wc1, wc2, wf1, wf2, wm = mw
+    motion = _reference_motion(corr, flow, wc1, wc2, wf1, wf2, wm, tuple(mb), fd)
+    x = jnp.concatenate([inp, motion, flow], axis=-1)
+    h1 = _reference_gru_pass(net, x, *g1, _K, True)
+    h2 = _reference_gru_pass(h1, x, *g2, _K, False)
+    delta = _reference_head(h2, hk1, hb1, hk2, hb2, 3, 3, 3, 3, "relu")
+    return h2, delta
+
+
+@functools.lru_cache(maxsize=None)
+def _with_vjp(fd: int):
+    @jax.custom_vjp
+    def f(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2):
+        return _fused_update_impl(
+            net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2, fd, False
+        )
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *a: _reference_update(*a, fd), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_update(
+    net: jnp.ndarray,  # [B, H, W, 128] GRU hidden
+    inp: jnp.ndarray,  # [B, H, W, 128] context (loop-invariant)
+    corr: jnp.ndarray,  # [B, H, W, <= 128] lookup output
+    flow: jnp.ndarray,  # [B, H, W, fd]
+    mw,  # (wc1, wc2, wf1, wf2, wm) motion-encoder conv kernels
+    mb,  # (bc1, bf1, bc2, bf2, bm) motion-encoder biases (b_ref layout)
+    g1,  # (kx, khzr, kqh, bzrq) horizontal GRU pass
+    g2,  # vertical GRU pass
+    hk1, hb1, hk2, hb2,  # FlowHead convs
+    interpret: bool = False,
+):
+    """One refine update step (motion -> GRU -> head) in two Pallas calls.
+
+    Returns (net', delta). Values match the chain of the separate fused
+    kernels (motion_fused + gru_fused x2 + head_fused) up to f32 dot-split
+    accumulation order; vs the unfused XLA form differences are bf16
+    elementwise rounding.
+    """
+    fd = flow.shape[-1]
+    mw, mb, g1, g2 = tuple(mw), tuple(mb), tuple(g1), tuple(g2)
+    if jax.default_backend() == "cpu" and not interpret:
+        return _reference_update(net, inp, corr, flow, mw, mb, g1, g2,
+                                 hk1, hb1, hk2, hb2, fd)
+    if interpret:
+        return _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2,
+                                  hk1, hb1, hk2, hb2, fd, True)
+    return _with_vjp(fd)(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2)

@@ -244,6 +244,16 @@ class BasicMotionEncoder(nn.Module):
         return [out, flow]  # virtual concat, 128 channels
 
 
+def _fuse_update() -> bool:
+    """Dispatch the WHOLE update step (motion encoder + both SepConvGRU
+    passes + FlowHead) to the two-kernel fused path
+    (kernels/update_fused.py) instead of four separate kernel/XLA pieces —
+    the per-iteration kernel boundaries and their HBM round-trips are the
+    bulk of the update net's ~19 ms in-situ cost (docs/PERF_NOTES.md).
+    UNIMATCH_FUSE_UPDATE=0 falls back to the per-piece kernels for A/B."""
+    return os.environ.get("UNIMATCH_FUSE_UPDATE", "0") != "0"
+
+
 class BasicUpdateBlock(nn.Module):
     hidden_dim: int = 128
     downsample_factor: int = 8
@@ -277,11 +287,73 @@ class BasicUpdateBlock(nn.Module):
         b2 = sc2.param("bias", nn.initializers.zeros, (mask_dim,))
         return conv_via_matmul(y, k2.astype(dt), (1, 1), (0, 0)) + b2.astype(dt)
 
+    def _fused_update(self, net, inp, corr, flow):
+        """Whole-step fused path (kernels/update_fused.py) with the
+        identical param tree to the per-module path below."""
+        from unimatch_tpu.kernels.update_fused import fused_update
+
+        fd = self.flow_dim
+        hd = self.hidden_dim
+        ck = corr.shape[-1]
+
+        enc_sc = self.scope.push("encoder")
+        gru_sc = self.scope.push("gru")
+        head_sc = self.scope.push("flow_head")
+
+        def p(parent, name, shape):
+            sc = parent.push(name)
+            k = sc.param("kernel", conv_kaiming_init, shape)
+            b = sc.param("bias", nn.initializers.zeros, (shape[-1],))
+            return k, b
+
+        wc1, bc1 = p(enc_sc, "convc1", (1, 1, ck, 256))
+        wf1, bf1 = p(enc_sc, "convf1", (7, 7, fd, 128))
+        wc2, bc2 = p(enc_sc, "convc2", (3, 3, 256, 192))
+        wf2, bf2 = p(enc_sc, "convf2", (3, 3, 128, 64))
+        wm, bm = p(enc_sc, "conv", (3, 3, 256, 128 - fd))
+
+        gs = []
+        for suffix, ksz in (("1", (1, 5)), ("2", (5, 1))):
+            # cin = hd (h-side) + 2*hd (the [inp|motion|flow] x concat)
+            ps = [
+                p(gru_sc, "conv" + g + suffix, (*ksz, 3 * hd, hd))
+                for g in ("z", "r", "q")
+            ]
+            (kz, bz), (kr, br), (kq, bq) = ps
+            kx = jnp.concatenate([kz[:, :, hd:], kr[:, :, hd:], kq[:, :, hd:]], -1)
+            khzr = jnp.concatenate([kz[:, :, :hd], kr[:, :, :hd]], -1)
+            gs.append((kx, khzr, kq[:, :, :hd, :], jnp.stack([bz, br, bq])))
+
+        hk1, hb1 = p(head_sc, "conv1", (3, 3, hd, 256))
+        hk2, hb2 = p(head_sc, "conv2", (3, 3, 256, fd))
+
+        return fused_update(
+            net, inp, corr, flow,
+            (wc1, wc2, wf1, wf2, wm), (bc1, bf1, bc2, bf2, bm),
+            gs[0], gs[1], hk1, hb1, hk2, hb2,
+        )
+
     @nn.compact
     def __call__(
         self, net: jnp.ndarray, inp: jnp.ndarray, corr: jnp.ndarray, flow: jnp.ndarray,
         with_mask: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+        if (
+            not with_mask
+            and _fuse_update()
+            and corr.dtype == jnp.bfloat16
+            and self.hidden_dim == 128
+            and inp.shape[-1] == 128
+            and corr.shape[-1] <= 128
+            and self.flow_dim <= 2
+            and not self.is_initializing()
+        ):
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                net2, delta = self._fused_update(net, inp, corr, flow)
+                return net2, None, delta
+
         motion_parts = BasicMotionEncoder(flow_channels=self.flow_dim, name="encoder")(flow, corr)
         net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, [inp] + motion_parts)
         delta = FlowHead(hidden_dim=256, out_dim=self.flow_dim, name="flow_head")(net)
