@@ -182,20 +182,24 @@ def _kernel_a(x_ref, flow_ref, inp_ref, h_ref, wc1_ref, wf1_ref, wc2_ref,
                 acc = sl if acc is None else acc + sl
         return acc
 
-    xz = conv_w(xparts, 0).astype(dt).astype(jnp.float32)
-    xr = conv_w(xparts, hd).astype(dt).astype(jnp.float32)
-    xq = conv_w(xparts, 2 * hd).astype(dt).astype(jnp.float32)
-    hz = conv_w(((hf, khzr_ref),), 0).astype(dt).astype(jnp.float32)
-    hr = conv_w(((hf, khzr_ref),), hd).astype(dt).astype(jnp.float32)
+    # rounded conv sums are HELD in dt and upcast at the use site — the
+    # rounding through dt already happened, so this is numerically identical
+    # to f32 storage and halves the kernel's scoped-VMEM footprint
+    xz = conv_w(xparts, 0).astype(dt)
+    xr = conv_w(xparts, hd).astype(dt)
+    xq = conv_w(xparts, 2 * hd).astype(dt)
+    hz = conv_w(((hf, khzr_ref),), 0).astype(dt)
+    hr = conv_w(((hf, khzr_ref),), hd).astype(dt)
 
-    z = jax.nn.sigmoid(hz + xz + gb_ref[0, 0].astype(jnp.float32))
-    r = jax.nn.sigmoid(hr + xr + gb_ref[0, 1].astype(jnp.float32))
-    hc = jax.lax.slice(h_ref[0], (0, _PR, 0), (T, _PR + W, hd)).astype(jnp.float32)
-    rhp = jnp.pad((r * hc).astype(dt), ((0, 0), (_PR, Wp - W - _PR), (0, 0)))
-    qh = conv_w(((rhp.reshape(T * Wp, hd), kqh_ref),), 0).astype(dt).astype(jnp.float32)
-    q = jnp.tanh(qh + xq + gb_ref[0, 2].astype(jnp.float32))
+    f32 = jnp.float32
+    z = jax.nn.sigmoid(hz.astype(f32) + xz.astype(f32) + gb_ref[0, 0].astype(f32))
+    r = jax.nn.sigmoid(hr.astype(f32) + xr.astype(f32) + gb_ref[0, 1].astype(f32))
+    hc = jax.lax.slice(h_ref[0], (0, _PR, 0), (T, _PR + W, hd))
+    rhp = jnp.pad((r * hc.astype(f32)).astype(dt), ((0, 0), (_PR, Wp - W - _PR), (0, 0)))
+    qh = conv_w(((rhp.reshape(T * Wp, hd), kqh_ref),), 0).astype(dt)
+    q = jnp.tanh(qh.astype(f32) + xq.astype(f32) + gb_ref[0, 2].astype(f32))
 
-    oh_ref[0] = ((1.0 - z) * hc + z * q).astype(oh_ref.dtype)
+    oh_ref[0] = ((1.0 - z) * hc.astype(f32) + z * q).astype(oh_ref.dtype)
     omot_ref[0] = jax.lax.slice(motion, (0, _HALO_A, 0), (T, _HALO_A + W, 128)).astype(
         omot_ref.dtype
     )
@@ -240,24 +244,27 @@ def _kernel_b(inp_ref, mot_ref, flow_ref, h_ref, kxi_ref, kxm_ref, kxf_ref,
                 acc = sl if acc is None else acc + sl
         return acc
 
-    xz = conv_rows(xparts, Tb, 0, Ti, _PR).astype(dt).astype(jnp.float32)
-    xr = conv_rows(xparts, Tb, hd, Ti, _PR).astype(dt).astype(jnp.float32)
-    hz = conv_rows(((hf, khzr_ref),), Tb, 0, Ti, _PR).astype(dt).astype(jnp.float32)
-    hr = conv_rows(((hf, khzr_ref),), Tb, hd, Ti, _PR).astype(dt).astype(jnp.float32)
+    # rounded conv sums held in dt, upcast at use (identical numerics,
+    # ~half the scoped-VMEM footprint — see kernel A)
+    xz = conv_rows(xparts, Tb, 0, Ti, _PR).astype(dt)
+    xr = conv_rows(xparts, Tb, hd, Ti, _PR).astype(dt)
+    hz = conv_rows(((hf, khzr_ref),), Tb, 0, Ti, _PR).astype(dt)
+    hr = conv_rows(((hf, khzr_ref),), Tb, hd, Ti, _PR).astype(dt)
 
-    hi = jax.lax.slice(h_ref[0, 0], (_PR, 0, 0), (_PR + Ti, Wv, hd)).astype(jnp.float32)
-    z_i = jax.nn.sigmoid(hz + xz + gb_ref[0, 0].astype(jnp.float32))
-    r_i = jax.nn.sigmoid(hr + xr + gb_ref[0, 1].astype(jnp.float32))
-    rh = (r_i * hi).astype(dt)  # [Ti, Wv, hd]; rh row i == band row i + 2
+    f32 = jnp.float32
+    hi = jax.lax.slice(h_ref[0, 0], (_PR, 0, 0), (_PR + Ti, Wv, hd))
+    z_i = jax.nn.sigmoid(hz.astype(f32) + xz.astype(f32) + gb_ref[0, 0].astype(f32))
+    r_i = jax.nn.sigmoid(hr.astype(f32) + xr.astype(f32) + gb_ref[0, 1].astype(f32))
+    rh = (r_i * hi.astype(f32)).astype(dt)  # [Ti, Wv, hd]; rh row i == band row i + 2
 
     # q at band rows [4, T+8) == rh rows [2, T+6)
     qh = conv_rows(((rh.reshape(Ti * Wv, hd), kqh_ref),), Ti, 0, Tn, _PR).astype(dt)
-    xq = conv_rows(xparts, Tb, 2 * hd, Tn, 2 * _PR).astype(dt).astype(jnp.float32)
-    q = jnp.tanh(qh.astype(jnp.float32) + xq + gb_ref[0, 2].astype(jnp.float32))
+    xq = conv_rows(xparts, Tb, 2 * hd, Tn, 2 * _PR).astype(dt)
+    q = jnp.tanh(qh.astype(f32) + xq.astype(f32) + gb_ref[0, 2].astype(f32))
 
     z_c = jax.lax.slice(z_i, (_PR, 0, 0), (_PR + Tn, Wv, hd))
     h_c = jax.lax.slice(hi, (_PR, 0, 0), (_PR + Tn, Wv, hd))
-    net = ((1.0 - z_c) * h_c + z_c * q).astype(dt)  # [Tn, Wv, hd]
+    net = ((1.0 - z_c) * h_c.astype(f32) + z_c * q).astype(dt)  # [Tn, Wv, hd]
 
     # out-of-image h' is sigmoid(b)-shaped garbage (h = x = 0 there); the
     # head's 'same' conv taps must read zero
@@ -295,11 +302,15 @@ def _split_kx(kx, hd, fd, dt):
     return kxi, kxm, kxf
 
 
-@functools.partial(jax.jit, static_argnames=("fd", "interpret"))
+@functools.partial(jax.jit, static_argnames=("fd", "T", "interpret"))
 def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
-                       fd, interpret):
+                       fd, T, interpret):
     """One full update step. mw = (wc1, wc2, wf1, wf2, wm); mb = 5 biases;
-    g1/g2 = (kx, khzr, kqh, bzrq) horizontal/vertical; hk/hb = head convs."""
+    g1/g2 = (kx, khzr, kqh, bzrq) horizontal/vertical; hk/hb = head convs.
+    T is a STATIC arg (band rows): reading the env var inside the jitted
+    body would be frozen into the first-traced graph and a later env change
+    would silently replay it (the round-4g T=8/T=4 retries compiled the
+    identical 21 MB-scoped graph twice)."""
     b, h, w, hd = net.shape
     ck = corr.shape[-1]
     dt = net.dtype
@@ -307,7 +318,6 @@ def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
     kx1, khzr1, kqh1, bz1 = g1
     kx2, khzr2, kqh2, bz2 = g2
 
-    T = _pick_t()
     hp = -(-h // T) * T
     wp = -(-(w + 2 * _HALO_A) // 8) * 8
     nt = hp // T
@@ -467,11 +477,11 @@ def _reference_update(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2, 
 
 
 @functools.lru_cache(maxsize=None)
-def _with_vjp(fd: int):
+def _with_vjp(fd: int, T: int):
     @jax.custom_vjp
     def f(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2):
         return _fused_update_impl(
-            net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2, fd, False
+            net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2, fd, T, False
         )
 
     def fwd(*args):
@@ -506,10 +516,11 @@ def fused_update(
     """
     fd = flow.shape[-1]
     mw, mb, g1, g2 = tuple(mw), tuple(mb), tuple(g1), tuple(g2)
+    T = _pick_t()  # read HERE (trace time), never inside the jitted impl
     if jax.default_backend() == "cpu" and not interpret:
         return _reference_update(net, inp, corr, flow, mw, mb, g1, g2,
                                  hk1, hb1, hk2, hb2, fd)
     if interpret:
         return _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2,
-                                  hk1, hb1, hk2, hb2, fd, True)
-    return _with_vjp(fd)(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2)
+                                  hk1, hb1, hk2, hb2, fd, T, True)
+    return _with_vjp(fd, T)(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2)
