@@ -508,9 +508,10 @@ def test_corr_volume_lookup_narrow_matches_reference(rng, monkeypatch):
 
 @pytest.mark.smoke
 def test_fused_update_matches_reference(rng):
-    """Two-kernel fused update step (interpret) == the composition of the
-    per-piece reference twins (motion -> GRU h/v -> head), fd in {2, 1},
-    odd extents exercising row-band and column padding."""
+    """Whole-step fused update (interpret; motion+GRU-h, GRU-v, head
+    kernels) == the composition of the per-piece reference twins
+    (motion -> GRU h/v -> head), fd in {2, 1}, odd extents exercising
+    row-band and column padding."""
     from unimatch_tpu.kernels.update_fused import fused_update, _reference_update
 
     for fd in (2, 1):

@@ -1,48 +1,44 @@
-"""Fused refine update-step Pallas kernels (two calls per iteration).
+"""Fused refine update-step Pallas kernels (three calls per iteration).
 
 The refine loop's update net (reference unimatch/reg_refine.py:56-119:
-BasicMotionEncoder -> SepConvGRU -> FlowHead) currently runs as FOUR
+BasicMotionEncoder -> SepConvGRU -> FlowHead) by default runs as FOUR
 pallas_calls per iteration (motion, GRU horizontal, GRU vertical, + the XLA
 flow head) with the motion features, the GRU x-concat, and the mid-GRU
 hidden state each round-tripping HBM between them. In-situ the update net
 is ~19 ms of the 56 ms flagship forward (docs/PERF_NOTES.md round-4d stage
-breakdown) against a sub-ms compute/memory bound — the cost is dominated by
-kernel boundaries, not work. Here the whole step is TWO kernels split at
-the only true row-dependency boundary (the vertical GRU pass needs
-horizontal-pass outputs from neighbouring row bands):
+breakdown) against a ~1 ms compute bound. Here the step is THREE kernels:
 
-  kernel A: motion-encoder conv chain + GRU horizontal (1xK) pass
-            -> h1, motion                  (band halo: motion's +-2 rows)
-  kernel B: GRU vertical (Kx1) pass + FlowHead
-            -> h', delta                   (band halo: 2*pr + head = +-6)
+  kernel A:  motion-encoder conv chain + GRU horizontal (1xK) pass
+             -> h1, motflow                (band halo: motion's +-2 rows)
+  kernel B1: GRU vertical (Kx1) pass      (band halo: 2*pr = +-4)
+             -> h'
+  head:      kernels/head_fused.py on h'  (existing, compiles on chip)
 
-Every intermediate (four motion maps, the 3*hd gate partials, r*h, the
-256-wide head hidden) lives and dies in VMEM. The only per-iteration HBM
-traffic left is: corr+flow pack read, inp/h reads, h1/motion write + banded
-re-read, h'/delta write (~90 MB vs ~500+ MB, and 2 kernel launches vs 4).
+The round-4g two-kernel form (head folded into the vertical pass, halo
++-6, four 128-lane banded inputs) exceeded Mosaic's 16 MB scoped-VMEM
+limit at every T (21.03 MB at T=8, 18.09 at T=4 — the banded input blocks
+double-buffer and dominate). B1 instead has exactly the proven
+gru_fused._vkernel footprint: same halo, same gate temps, and the same
+input bytes (3 x 128 lanes here vs its 256-lane x concat + 128-lane h).
 
 Design notes:
 * Kernel A is kernels/motion_fused.py's band layout (im2col'd 7x7, packed
   256-lane corr|flow input, zero-masked intermediates) with
   kernels/gru_fused.py's _hkernel appended — the motion band's +-2 pad
   columns double as the K=5 'same' conv's pr=2 column padding.
-* Kernel B is gru_fused.py's _vkernel with the band halo extended from
-  2*pr to 2*pr + 2 so the head's two 3x3 convs run on in-band rows.
-* The GRU x input ([inp | motion | flow], cin 2*hd) is NEVER concatenated:
-  convolution is linear in cin, so each part stays a separate 128-lane
-  operand/value dotted against an XLA-side zero-extended [K, 128, 3*hd]
-  weight slice. In-kernel lane-concat of non-leading-axis slices and
-  non-8-aligned sublane weight slices are both Mosaic rejections
-  (CLAUDE.md landmines); this sidesteps every one of them. The motion conv
-  itself emits 128 lanes (cout zero-extended 128-fd -> 128), and flow rides
-  a zero-tailed 128-lane map.
-* h'(net) must be masked to zero outside the image before the head convs:
-  out-of-image rows have h = x = 0, but (1-z)*h + z*q = sigmoid(b)-shaped
-  garbage there, and a 'same' conv tap must read ZERO (same rule as the
-  motion kernel's intermediate masks).
+* The GRU x input is NEVER concatenated, and costs no wasted dot work:
+  the reference's x layout is [inp(hd) | motion(hd-fd) | flow(fd)], so
+  packing flow into the motion map's zero tail lanes ("motflow") makes the
+  second 128-lane part line up with kx[:, hd:] VERBATIM — two full-rank
+  [K, 128, 3*hd] dots per tap, no zero-extended rows, no in-kernel
+  lane-concat (a Mosaic rejection, CLAUDE.md). The caller frames flow into
+  tail lanes (zeros elsewhere) and kernel A forms motflow = motion + that
+  frame (motion's tail fd lanes are zero by construction).
 * Tap accumulation f32, one rounding per conv; gate math f32 on rounded
-  sums — matches the separate fused kernels it replaces up to f32 dot-split
-  accumulation order.
+  sums; rounded conv sums are HELD in the compute dtype (the rounding
+  already happened, so dt storage is numerically identical and halves the
+  gate-temp VMEM) — matches the separate fused kernels it replaces up to
+  f32 dot-split accumulation order.
 
 pallas_call has no autodiff: training runs the jnp twin's vjp (custom_vjp);
 in practice the dispatch only covers the inference path (with_mask=False).
@@ -62,7 +58,7 @@ from jax.experimental import pallas as pl
 
 _HALO_A = 2  # motion chain: stage-2 3x3 + merge 3x3 (7x7 folded via im2col)
 _PR = 2  # GRU K=5 'same' padding radius
-_HALO_B = 2 * _PR + 2  # q-chain halo + the head's two 3x3 convs
+_HALO_B = 2 * _PR  # vertical q-chain halo (head runs in its own kernel)
 _K = 5
 
 
@@ -127,10 +123,11 @@ def _conv_band(src, nrows, w_ref, bias, K, rows_out, row0, src_row0, act):
 
 
 def _kernel_a(x_ref, flow_ref, inp_ref, h_ref, wc1_ref, wf1_ref, wc2_ref,
-              wf2_ref, wm_ref, mb_ref, kxi_ref, kxm_ref, kxf_ref, khzr_ref,
-              kqh_ref, gb_ref, oh_ref, omot_ref, *, T, W, H, fd, hd, dt):
-    """x (corr|flow-im2col pack) [1,1,T+4,Wp,256]; flow/inp/h [1,T,Wp,*];
-    oh (post-horizontal h) [1,T,W,hd]; omot (motion, zero-tailed to 128
+              wf2_ref, wm_ref, mb_ref, kxi_ref, kxm_ref, khzr_ref,
+              kqh_ref, gb_ref, oh_ref, omf_ref, *, T, W, H, fd, hd, dt):
+    """x (corr|flow-im2col pack) [1,1,T+4,Wp,256]; flow (TAIL lanes
+    128-fd..127, zeros elsewhere) / inp / h [1,T,Wp,*]; oh (post-horizontal
+    h) [1,T,W,hd]; omf (motflow = motion with flow riding its zero tail
     lanes) [1,T,W,128].
 
     Band row r is global row j*T + r - 2; padded columns [2, 2+W) are the
@@ -161,14 +158,16 @@ def _kernel_a(x_ref, flow_ref, inp_ref, h_ref, wc1_ref, wf1_ref, wc2_ref,
     motion = (
         _conv_band(merged, T + 2, wm_ref, bm, 3, T, 2, 1, True).astype(dt) * m3
     )  # [T, Wp, 128]; lanes >= 128-fd are zero (zero-extended wm/bias)
+    # flow rides the zero tail lanes: motflow == the reference's
+    # [motion | flow] slice of the x concat, so kx[:, hd:] applies verbatim
+    motflow = motion + flow_ref[0]
 
     # ---- GRU horizontal (1xK) pass, gru_fused._hkernel logic; the x input
-    # [inp | motion | flow] stays three separate 128-lane dots ----
-    flowf = flow_ref[0].reshape(T * Wp, 128)
+    # [inp | motion | flow] stays two full-rank 128-lane dots ----
     inpf = inp_ref[0].reshape(T * Wp, hd)
-    motf = motion.reshape(T * Wp, 128)
+    mff = motflow.reshape(T * Wp, 128)
     hf = h_ref[0].reshape(T * Wp, hd)
-    xparts = ((inpf, kxi_ref), (motf, kxm_ref), (flowf, kxf_ref))
+    xparts = ((inpf, kxi_ref), (mff, kxm_ref))
 
     def conv_w(parts, off):
         acc = None
@@ -200,34 +199,31 @@ def _kernel_a(x_ref, flow_ref, inp_ref, h_ref, wc1_ref, wf1_ref, wc2_ref,
     q = jnp.tanh(qh.astype(f32) + xq.astype(f32) + gb_ref[0, 2].astype(f32))
 
     oh_ref[0] = ((1.0 - z) * hc.astype(f32) + z * q).astype(oh_ref.dtype)
-    omot_ref[0] = jax.lax.slice(motion, (0, _HALO_A, 0), (T, _HALO_A + W, 128)).astype(
-        omot_ref.dtype
+    omf_ref[0] = jax.lax.slice(motflow, (0, _HALO_A, 0), (T, _HALO_A + W, 128)).astype(
+        omf_ref.dtype
     )
 
 
 # --------------------------------------------------------------------------
-# kernel B: GRU vertical pass + flow head
+# kernel B1: GRU vertical pass (head runs in kernels/head_fused.py)
 # --------------------------------------------------------------------------
 
 
-def _kernel_b(inp_ref, mot_ref, flow_ref, h_ref, kxi_ref, kxm_ref, kxf_ref,
-              khzr_ref, kqh_ref, gb_ref, hk1_ref, hb1_ref, hk2_ref, hb2_ref,
-              oh_ref, od_ref, *, T, W, H, hd, dt):
-    """Banded inputs [1,1,T+12,Wv,*] (halo 6 rows each side; Wv = align8(W),
-    zero beyond the image). oh (h') [1,T,Wv,hd]; od (delta) [1,T,Wv,128]
-    (head cout zero-padded to lanes). Band row r is global j*T + r - 6.
+def _kernel_b1(inp_ref, mf_ref, h_ref, kxi_ref, kxm_ref, khzr_ref, kqh_ref,
+               gb_ref, oh_ref, *, T, hd, dt):
+    """Banded inputs [1,1,T+8,Wv,*] (halo 2*pr = 4 rows each side;
+    Wv = align8(W), zero beyond the image). oh (h') [1,T,Wv,hd]. Band row r
+    is global j*T + r - 4. Footprint == gru_fused._vkernel (which compiles
+    and runs at these shapes): same halo, same gate temps, same input bytes.
     """
-    j = pl.program_id(1)
     Tb = inp_ref.shape[2]
     Wv = inp_ref.shape[3]
-    Ti = T + 2 * _PR + 4  # rows where z/r/(r*h) are needed: [-4, T+4)
-    Tn = T + 4  # h' rows needed by the head: [-2, T+2)
+    Ti = T + 2 * _PR  # rows where z/r/(r*h) are needed: [-2, T+2)
 
     inpf = inp_ref[0, 0].reshape(Tb * Wv, hd)
-    motf = mot_ref[0, 0].reshape(Tb * Wv, 128)
-    flowf = flow_ref[0, 0].reshape(Tb * Wv, 128)
+    mff = mf_ref[0, 0].reshape(Tb * Wv, 128)
     hf = h_ref[0, 0].reshape(Tb * Wv, hd)
-    xparts = ((inpf, kxi_ref), (motf, kxm_ref), (flowf, kxf_ref))
+    xparts = ((inpf, kxi_ref), (mff, kxm_ref))
 
     def conv_rows(parts, nrows, off, rows_out, row0):
         """Kx1 'same' conv at band rows [row0, row0+rows_out)."""
@@ -257,26 +253,14 @@ def _kernel_b(inp_ref, mot_ref, flow_ref, h_ref, kxi_ref, kxm_ref, kxf_ref,
     r_i = jax.nn.sigmoid(hr.astype(f32) + xr.astype(f32) + gb_ref[0, 1].astype(f32))
     rh = (r_i * hi.astype(f32)).astype(dt)  # [Ti, Wv, hd]; rh row i == band row i + 2
 
-    # q at band rows [4, T+8) == rh rows [2, T+6)
-    qh = conv_rows(((rh.reshape(Ti * Wv, hd), kqh_ref),), Ti, 0, Tn, _PR).astype(dt)
-    xq = conv_rows(xparts, Tb, 2 * hd, Tn, 2 * _PR).astype(dt)
+    # q at band rows [2, T+2) == rh rows [2, T+2)
+    qh = conv_rows(((rh.reshape(Ti * Wv, hd), kqh_ref),), Ti, 0, T, _PR).astype(dt)
+    xq = conv_rows(xparts, Tb, 2 * hd, T, 2 * _PR).astype(dt)
     q = jnp.tanh(qh.astype(f32) + xq.astype(f32) + gb_ref[0, 2].astype(f32))
 
-    z_c = jax.lax.slice(z_i, (_PR, 0, 0), (_PR + Tn, Wv, hd))
-    h_c = jax.lax.slice(hi, (_PR, 0, 0), (_PR + Tn, Wv, hd))
-    net = ((1.0 - z_c) * h_c.astype(f32) + z_c * q).astype(dt)  # [Tn, Wv, hd]
-
-    # out-of-image h' is sigmoid(b)-shaped garbage (h = x = 0 there); the
-    # head's 'same' conv taps must read zero
-    net = net * _mask3(Tn, Wv, j * T - 2, 0, W, H, dt)
-
-    # ---- flow head: conv3x3 -> relu -> conv3x3 + bias ----
-    hid = _conv_band(net, Tn, hk1_ref, hb1_ref[0], 3, T + 2, 1, 0, True).astype(dt)
-    hid = hid * _mask3(T + 2, Wv, j * T - 1, 0, W, H, dt)
-    delta = _conv_band(hid, T + 2, hk2_ref, hb2_ref[0], 3, T, 1, 0, False)
-
-    oh_ref[0] = jax.lax.slice(net, (2, 0, 0), (2 + T, Wv, hd)).astype(oh_ref.dtype)
-    od_ref[0] = delta.astype(od_ref.dtype)
+    z_c = jax.lax.slice(z_i, (_PR, 0, 0), (_PR + T, Wv, hd))
+    h_c = jax.lax.slice(hi, (_PR, 0, 0), (_PR + T, Wv, hd))
+    oh_ref[0] = ((1.0 - z_c) * h_c.astype(f32) + z_c * q).astype(oh_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -288,18 +272,14 @@ def _pick_t(default: int = 8) -> int:
     return int(os.environ.get("UNIMATCH_UPDATE_T", str(default)))
 
 
-def _split_kx(kx, hd, fd, dt):
-    """[K, 2*hd, 3*hd] x-side GRU weights -> three zero-extended [K, 128,
-    3*hd] mats for the (inp, motion, flow) parts. The motion part's rows are
-    the cin slice [hd, hd + 128 - fd); its operand is zero on the extended
-    tail lanes, so the extension rows multiply zeros either way."""
+def _split_kx(kx, hd, dt):
+    """[K, 2*hd, 3*hd] x-side GRU weights -> two [K, 128, 3*hd] mats for the
+    (inp, motflow) parts. The reference x layout is [inp | motion | flow]
+    with motion+flow together exactly hd channels, and motflow packs flow
+    into the motion map's zero tail lanes — so the second slice applies
+    VERBATIM, no reordering or zero-extension."""
     kx = kx.reshape(_K, 2 * hd, 3 * hd).astype(dt)
-    kxi = kx[:, :hd]
-    kxm = jnp.zeros((_K, 128, 3 * hd), dt).at[:, : 128 - fd].set(
-        kx[:, hd : hd + 128 - fd]
-    )
-    kxf = jnp.zeros((_K, 128, 3 * hd), dt).at[:, :fd].set(kx[:, hd + 128 - fd :])
-    return kxi, kxm, kxf
+    return kx[:, :hd], kx[:, hd:]
 
 
 @functools.partial(jax.jit, static_argnames=("fd", "T", "interpret"))
@@ -340,13 +320,17 @@ def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
     )
     xb = jnp.take(x, _band_rows(nt, T, 2 * _HALO_A), axis=1)
 
-    def frame(t):  # [B, hp, wp, 128] with the +-2 column frame, zero outside
-        t = jnp.pad(t, ((0, 0),) * 3 + ((0, 128 - t.shape[-1]),))
+    def frame(t, tail=False):
+        # [B, hp, wp, 128] with the +-2 column frame, zero outside; tail=True
+        # parks the channels on lanes 128-c..127 (flow's motflow slot)
+        c = t.shape[-1]
+        lanes = (128 - c, 0) if tail else (0, 128 - c)
+        t = jnp.pad(t, ((0, 0),) * 3 + (lanes,))
         return jnp.pad(
             t, ((0, 0), (0, hp - h), (_HALO_A, wp - w - _HALO_A), (0, 0))
         ).astype(dt)
 
-    flow_f = frame(flow)
+    flow_f = frame(flow, tail=True)
     inp_f = frame(inp)
     h_f = frame(net)
 
@@ -361,12 +345,12 @@ def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
     for i, bias in enumerate(mb):
         mbm = mbm.at[0, i, : bias.shape[0]].set(bias.astype(dt))
 
-    kxi1, kxm1, kxf1 = _split_kx(kx1, hd, fd, dt)
+    kxi1, kxm1 = _split_kx(kx1, hd, dt)
     khzr1m = khzr1.reshape(_K, hd, 2 * hd).astype(dt)
     kqh1m = kqh1.reshape(_K, hd, hd).astype(dt)
     gb1 = bz1.reshape(1, 3, hd).astype(dt)
 
-    h1, mot = pl.pallas_call(
+    h1, mf = pl.pallas_call(
         functools.partial(_kernel_a, T=T, W=w, H=h, fd=fd, hd=hd, dt=dt),
         grid=(b, nt),
         in_specs=[
@@ -380,7 +364,6 @@ def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
             pl.BlockSpec((9, 128, 64), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((9, 256, 128), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, 5, 256), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((_K, hd, 2 * hd), lambda i, j: (0, 0, 0)),
@@ -400,10 +383,10 @@ def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
         xb.astype(dt), flow_f, inp_f, h_f,
         wc1m.reshape(1, 256, 256), wf1m.reshape(1, 256, 128),
         wc2.reshape(9, 256, 192).astype(dt), wf2.reshape(9, 128, 64).astype(dt),
-        wmm, mbm, kxi1, kxm1, kxf1, khzr1m, kqh1m, gb1,
+        wmm, mbm, kxi1, kxm1, khzr1m, kqh1m, gb1,
     )
 
-    # ---- kernel B: banded inp / motion / flow / h1 with a 6-row halo ----
+    # ---- kernel B1: banded inp / motflow / h1 with a 2*pr-row halo ----
     wv = -(-w // 8) * 8
     halo = _HALO_B
     rows_b = _band_rows(nt, T, 2 * halo)
@@ -414,49 +397,39 @@ def _fused_update_impl(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2,
         return jnp.take(tp, rows_b, axis=1).astype(dt)
 
     inp_b = band(inp)
-    mot_b = band(mot)
-    flow_b = band(flow)
+    mf_b = band(mf)
     h1_b = band(h1)
 
-    kxi2, kxm2, kxf2 = _split_kx(kx2, hd, fd, dt)
+    kxi2, kxm2 = _split_kx(kx2, hd, dt)
     khzr2m = khzr2.reshape(_K, hd, 2 * hd).astype(dt)
     kqh2m = kqh2.reshape(_K, hd, hd).astype(dt)
     gb2 = bz2.reshape(1, 3, hd).astype(dt)
-    hk1m = hk1.reshape(9, hd, 256).astype(dt)
-    hb1m = hb1.reshape(1, 256).astype(dt)
-    hk2m = jnp.pad(hk2.reshape(9, 256, fd), ((0, 0), (0, 0), (0, 128 - fd))).astype(dt)
-    hb2m = jnp.pad(hb2, (0, 128 - fd)).reshape(1, 128).astype(dt)
 
     bspec = lambda c: pl.BlockSpec((1, 1, T + 2 * halo, wv, c), lambda i, j: (i, j, 0, 0, 0))
-    h2, delta = pl.pallas_call(
-        functools.partial(_kernel_b, T=T, W=w, H=h, hd=hd, dt=dt),
+    h2 = pl.pallas_call(
+        functools.partial(_kernel_b1, T=T, hd=hd, dt=dt),
         grid=(b, nt),
         in_specs=[
-            bspec(hd), bspec(128), bspec(128), bspec(hd),
-            pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
+            bspec(hd), bspec(128), bspec(hd),
             pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((_K, 128, 3 * hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((_K, hd, 2 * hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((_K, hd, hd), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, 3, hd), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((9, hd, 256), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((1, 256), lambda i, j: (0, 0)),
-            pl.BlockSpec((9, 256, 128), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((1, 128), lambda i, j: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, T, wv, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, T, wv, 128), lambda i, j: (i, j, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hp, wv, hd), dt),
-            jax.ShapeDtypeStruct((b, hp, wv, 128), dt),
-        ],
+        out_specs=pl.BlockSpec((1, T, wv, hd), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wv, hd), dt),
         interpret=interpret,
-    )(inp_b, mot_b, flow_b, h1_b, kxi2, kxm2, kxf2, khzr2m, kqh2m, gb2,
-      hk1m, hb1m, hk2m, hb2m)
+    )(inp_b, mf_b, h1_b, kxi2, kxm2, khzr2m, kqh2m, gb2)
 
-    return h2[:, :h, :w], delta[:, :h, :w, :fd]
+    h2 = h2[:, :h, :w]
+
+    # ---- flow head: the existing fused two-conv kernel (on-chip parity
+    # 0.031 on 12.75 absmax, docs/PERF_NOTES.md round-4d) ----
+    from unimatch_tpu.kernels.head_fused import fused_head
+
+    delta = fused_head(h2, hk1, hb1, hk2, hb2, act1="relu", interpret=interpret)
+    return h2, delta
 
 
 def _reference_update(net, inp, corr, flow, mw, mb, g1, g2, hk1, hb1, hk2, hb2, fd):

@@ -246,11 +246,12 @@ class BasicMotionEncoder(nn.Module):
 
 def _fuse_update() -> bool:
     """Dispatch the WHOLE update step (motion encoder + both SepConvGRU
-    passes + FlowHead) to the two-kernel fused path
-    (kernels/update_fused.py) instead of four separate kernel/XLA pieces —
-    the per-iteration kernel boundaries and their HBM round-trips are the
-    bulk of the update net's ~19 ms in-situ cost (docs/PERF_NOTES.md).
-    UNIMATCH_FUSE_UPDATE=0 falls back to the per-piece kernels for A/B."""
+    passes + FlowHead) to the fused path (kernels/update_fused.py:
+    motion+GRU-h kernel, GRU-v kernel, fused head) instead of four separate
+    kernel/XLA pieces — the per-iteration kernel boundaries and their HBM
+    round-trips are the bulk of the update net's ~19 ms in-situ cost
+    (docs/PERF_NOTES.md). UNIMATCH_FUSE_UPDATE=0 falls back to the
+    per-piece kernels for A/B."""
     return os.environ.get("UNIMATCH_FUSE_UPDATE", "0") != "0"
 
 
