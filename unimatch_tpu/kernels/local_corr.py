@@ -141,16 +141,27 @@ def _local_corr_flow_impl(f0, f1, ry, rx=None, t=8, wc=128, interpret=False):
     return jnp.stack([fx[:, :h, :w], fy[:, :h, :w]], axis=-1)
 
 
-def _prop_kernel(q_ref, kb_ref, vb_ref, o_ref, *, r: int, t: int, w: int,
+def _prop_kernel(q_ref, kb_ref, v_ref, o_ref, *, r: int, t: int, w: int,
                  scale: float, cf: int):
     """Local window propagation: softmax(q . k_shifted) expectation over the
     SHIFTED value (flow) field. No border masking — the reference's
     F.unfold zero-pads, so out-of-image taps participate with score q.0 = 0
-    and value 0 (attention.py:220-253), which the zero-padded bands
-    reproduce exactly."""
-    q = q_ref[0].astype(jnp.float32)  # [T, W, C]
-    kb = kb_ref[0, 0]  # [T+2r, Wpad, C]
-    vb = vb_ref[0, 0]  # [T+2r, Wpad, Cf]
+    and value 0 (attention.py:220-253), which the zero-padded key band /
+    zero-filled shifted value maps reproduce exactly.
+
+    The values arrive as (2r+1)^2 * cf pre-shifted [T, WC] planes on a
+    LEADING axis (v_ref[0] is [k*k*cf, T, WC]), and columns are sub-blocked
+    at WC <= 128: bisection (docs/PERF_NOTES.md round-4i) showed the Mosaic
+    compile helper crashes (HTTP 500, exit 1, no diagnostic) on ANY
+    p * loaded-value vector product inside the unrolled tap loop once the
+    lane width exceeds 128 — the same product compiles fine at 128 lanes,
+    which is also the proven _kernel/_local_corr_flow_impl envelope. The
+    shifted maps are cheap: flow is [H, W, 2] (~150 KB), vs the
+    [H, W, k*k, C] key patches (~132 MB at the flagship s1 shape) this
+    kernel exists to avoid."""
+    q = q_ref[0].astype(jnp.float32)  # [T, WC, C]
+    kb = kb_ref[0, 0, 0]  # [T+2r, WCpad, C]
+    v = v_ref[0]  # [k*k*cf, T, WC]
     k = 2 * r + 1
 
     m = jnp.full((t, w), -jnp.inf, jnp.float32)
@@ -164,47 +175,74 @@ def _prop_kernel(q_ref, kb_ref, vb_ref, o_ref, *, r: int, t: int, w: int,
             rescale = jnp.exp(m - mn)
             p = jnp.exp(ck - mn)
             s = s * rescale + p
-            vs = vb[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
             for f in range(cf):
-                acc[f] = acc[f] * rescale + p * vs[:, :, f]
+                vs = v[(dy * k + dx) * cf + f].astype(jnp.float32)  # [T, W]
+                acc[f] = acc[f] * rescale + p * vs
             m = mn
     for f in range(cf):
         o_ref[f, 0] = acc[f] / s
 
 
-@functools.partial(jax.jit, static_argnames=("local_radius", "t", "interpret"))
-def _local_prop_impl(query, key, value, local_radius, t=8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("local_radius", "t", "wc", "interpret"))
+def _local_prop_impl(query, key, value, local_radius, t=8, wc=128, interpret=False):
     b, h, w, c = query.shape
     cf = value.shape[-1]
     r = local_radius
+    k = 2 * r + 1
     hp = -(-h // t) * t
-    wpad = -(-(w + 2 * r) // 8) * 8
     nb = hp // t
+    # column sub-blocks (see kernel docstring: >128-lane value products
+    # crash the Mosaic compile helper)
+    wc = min(wc, -(-w // 8) * 8)
+    wp = -(-w // wc) * wc
+    ncol = wp // wc
+    wcb = -(-(wc + 2 * r) // 8) * 8
 
-    qp = jnp.pad(query, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    kp = jnp.pad(key, ((0, 0), (r, hp - h + r), (r, wpad - w - r), (0, 0)))
-    vp = jnp.pad(value, ((0, 0), (r, hp - h + r), (r, wpad - w - r), (0, 0)))
-    kb = jnp.stack([kp[:, i * t : i * t + t + 2 * r] for i in range(nb)], axis=1)
-    vb = jnp.stack([vp[:, i * t : i * t + t + 2 * r] for i in range(nb)], axis=1)
+    qp = jnp.pad(query, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    kp = jnp.pad(key, ((0, 0), (r, hp - h + r), (r, wcb + wp - w - r), (0, 0)))
+    kb = jnp.stack(
+        [
+            jnp.stack(
+                [kp[:, i * t : i * t + t + 2 * r, j * wc : j * wc + wcb]
+                 for j in range(ncol)],
+                axis=1,
+            )
+            for i in range(nb)
+        ],
+        axis=1,
+    )  # [B, nb, ncol, T+2r, wcb, C]
+    # (k*k*cf) pre-shifted value planes, zero-filled at the borders:
+    # plane (dy*k+dx)*cf + f at (y, x) = value[y + dy - r, x + dx - r, f]
+    vp = jnp.pad(value, ((0, 0), (r, hp - h + r), (r, r + wp - w), (0, 0)))
+    vshift = jnp.stack(
+        [
+            vp[:, dy : dy + hp, dx : dx + wp, f]
+            for dy in range(k)
+            for dx in range(k)
+            for f in range(cf)
+        ],
+        axis=1,
+    )  # [B, k*k*cf, hp, wp]
 
     scale = 1.0 / (c**0.5)
     out = pl.pallas_call(
-        functools.partial(_prop_kernel, r=r, t=t, w=w, scale=scale, cf=cf),
-        grid=(b, nb),
+        functools.partial(_prop_kernel, r=r, t=t, w=wc, scale=scale, cf=cf),
+        grid=(b, nb, ncol),
         in_specs=[
-            pl.BlockSpec((1, t, w, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, t, wc, c), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t + 2 * r, wpad, c), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, t + 2 * r, wcb, c),
+                         lambda i, j, n: (i, j, n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t + 2 * r, wpad, cf), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, k * k * cf, t, wc), lambda i, j, n: (i, 0, j, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cf, 1, t, w), lambda i, j: (0, i, j, 0),
+        out_specs=pl.BlockSpec((cf, 1, t, wc), lambda i, j, n: (0, i, j, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cf, b, hp, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cf, b, hp, wp), jnp.float32),
         interpret=interpret,
-    )(qp, kb, vb)
-    return jnp.moveaxis(out[:, :, :h], 0, -1)  # [B, H, W, Cf]
+    )(qp, kb, vshift)
+    return jnp.moveaxis(out[:, :, :h, :w], 0, -1)  # [B, H, W, Cf]
 
 
 def _reference_prop(query, key, value, local_radius):

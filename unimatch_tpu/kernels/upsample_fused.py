@@ -25,13 +25,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(m_ref, fb_ref, o_ref, *, t: int, w: int, kk: int, cf: int,
-            mult: float):
+def _kernel(m_ref, v_ref, o_ref, *, kk: int, cf: int, mult: float):
+    """mask m_ref[0]: [9, TW, KK] (neighbor groups on a LEADING axis —
+    in-kernel sub-vreg lane slicing of a [TW, 9*KK] layout crashes the
+    Mosaic compile helper, leading-axis indexing is the proven
+    corr_volume.py pattern); values v_ref[0]: [TW, 9*cf] pre-shifted flow
+    neighbors (zero-filled borders, built XLA-side — flow is ~150 KB, so 9
+    shifted copies are trivial; the in-kernel [T+2, Wpad, Cf] band slicing
+    + lane extraction this replaces also crashes the compile helper at
+    W=256). Width-1 lane slices of the value broadcast against the
+    [TW, KK] weights (probe-verified at these shapes)."""
     n9 = 9
-    mask = m_ref[0].reshape(t * w, n9 * kk).astype(jnp.float32)  # [TW, 576]
-    band = fb_ref[0, 0]  # [T+2, Wpad, Cf]
+    mask = m_ref[0].astype(jnp.float32)  # [9, TW, KK]
+    vals = v_ref[0].astype(jnp.float32)  # [TW, 9*Cf]
 
-    groups = [mask[:, n * kk : (n + 1) * kk] for n in range(n9)]  # 9 x [TW, KK]
+    groups = [mask[n] for n in range(n9)]  # 9 x [TW, KK]
     m = groups[0]
     for g in groups[1:]:
         m = jnp.maximum(m, g)
@@ -40,46 +48,55 @@ def _kernel(m_ref, fb_ref, o_ref, *, t: int, w: int, kk: int, cf: int,
     for p in ps[1:]:
         s = s + p
 
-    acc = [jnp.zeros((t * w, kk), jnp.float32) for _ in range(cf)]
+    acc = [jnp.zeros(ps[0].shape, jnp.float32) for _ in range(cf)]
     for n in range(n9):
-        dy, dx = n // 3, n % 3
-        # [T, W, Cf] -> [T*W, Cf] (major collapse, lanes intact), then a
-        # width-1 lane slice broadcasts against the [T*W, KK] weights
-        fn = band[dy : dy + t, dx : dx + w, :].reshape(t * w, cf).astype(jnp.float32)
         for c in range(cf):
-            acc[c] = acc[c] + ps[n] * fn[:, c : c + 1]
+            i = n * cf + c
+            acc[c] = acc[c] + ps[n] * vals[:, i : i + 1]
     for c in range(cf):
         o_ref[c, 0] = ((acc[c] / s) * jnp.float32(mult)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("upsample_factor", "is_depth", "t", "interpret"))
-def _upsample_impl(flow, mask, upsample_factor, is_depth, t=8, interpret=False):
+def _upsample_impl(flow, mask, upsample_factor, is_depth, t=None, interpret=False):
     b, h, w, cf = flow.shape
     k = upsample_factor
     kk = k * k
+    if t is None:
+        # Mosaic crash line (round-4i bisection): elementwise chains on
+        # [T*W, KK] tiles crash the compile helper at 2048 sublanes and
+        # compile at <= 1024 — cap the row band so T*W <= 1024
+        t = max(1, 1024 // w)
     hp = -(-h // t) * t
-    wpad = -(-(w + 2) // 8) * 8
     nb = hp // t
 
     mp = jnp.pad(mask, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    fp = jnp.pad(flow, ((0, 0), (1, hp - h + 1), (1, wpad - w - 1), (0, 0)))
-    fb = jnp.stack([fp[:, i * t : i * t + t + 2] for i in range(nb)], axis=1)
+    # neighbor groups to a leading axis: [B, hp*w, 9, KK] -> [B, 9, hp*w, KK]
+    mp = mp.reshape(b, hp * w, 9, kk).transpose(0, 2, 1, 3)
+    # 9 pre-shifted flow neighbor maps, (dy, dx) minor-major as the mask's
+    # 9-group channel layout: plane n*cf+c at (y, x) = flow[y+n//3-1, x+n%3-1, c]
+    fp = jnp.pad(flow, ((0, 0), (1, hp - h + 1), (1, 1), (0, 0)))
+    vs = jnp.concatenate(
+        [fp[:, dy : dy + hp, dx : dx + w] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # [B, hp, w, 9*cf]
+    vs = vs.reshape(b, hp * w, 9 * cf)
 
     mult = 1.0 if is_depth else float(k)
     out = pl.pallas_call(
-        functools.partial(_kernel, t=t, w=w, kk=kk, cf=cf, mult=mult),
+        functools.partial(_kernel, kk=kk, cf=cf, mult=mult),
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, t, w, 9 * kk), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 9, t * w, kk), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t + 2, wpad, cf), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, t * w, 9 * cf), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((cf, 1, t * w, kk), lambda i, j: (0, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cf, b, hp * w, kk), flow.dtype),
         interpret=interpret,
-    )(mp, fb)
+    )(mp, vs)
     # [Cf, B, H*W, K*K] -> [B, H, Ky, W, Kx, Cf] -> [B, KH, KW, Cf]
     up = out[:, :, : h * w].reshape(cf, b, h, w, k, k)
     up = up.transpose(1, 2, 4, 3, 5, 0)
