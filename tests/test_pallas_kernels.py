@@ -108,6 +108,15 @@ def test_corr_volume_build_matches_reference(rng):
     assert got.shape[1] >= p
     np.testing.assert_allclose(np.asarray(got[:, :p]), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    # the "pm" grid order (f1b-resident inner sweep) must produce identical
+    # values — only the DMA schedule differs
+    from unimatch_tpu.kernels.corr_volume import _build_volume_impl
+
+    got_pm = _build_volume_impl(f0, f1b, out_dtype=jnp.float32, block_p=128,
+                                interpret=True, grid_order="pm")
+    np.testing.assert_allclose(
+        np.asarray(got_pm[:, :p]), np.asarray(want), rtol=1e-5, atol=1e-5)
+
 
 @pytest.mark.smoke
 def test_corr_volume_lookup_matches_reference(rng):
@@ -584,3 +593,81 @@ def test_update_block_fused_dispatch(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got_delta, np.float32), np.asarray(want_delta, np.float32), atol=0.2
     )
+
+
+@pytest.mark.smoke
+def test_residual_block_fused_matches_reference(rng):
+    """Fused conv+IN residual block (interpret) == the XLA ResidualBlock
+    math, including banded-moment IN statistics (exact Chan combination)."""
+    from unimatch_tpu.kernels.conv_in_fused import (
+        _block_impl_wrapped, _reference_block,
+    )
+
+    for b, h, w, cin, c in ((1, 24, 40, 64, 64), (2, 37, 48, 32, 32)):
+        x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+        k1 = jnp.asarray(rng.randn(3, 3, cin, c) * 0.2, jnp.float32)
+        k2 = jnp.asarray(rng.randn(3, 3, c, c) * 0.2, jnp.float32)
+        want = _reference_block(x, k1, k2)
+        got = _block_impl_wrapped(x, k1, k2, x, True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-5, atol=2e-5)
+
+
+def test_residual_block_fused_skip_override(rng):
+    from unimatch_tpu.kernels.conv_in_fused import (
+        _block_impl_wrapped, _reference_block,
+    )
+
+    x = jnp.asarray(rng.randn(1, 16, 24, 32), jnp.float32)
+    skip = jnp.asarray(rng.randn(1, 16, 24, 48), jnp.float32)
+    k1 = jnp.asarray(rng.randn(3, 3, 32, 48) * 0.2, jnp.float32)
+    k2 = jnp.asarray(rng.randn(3, 3, 48, 48) * 0.2, jnp.float32)
+    want = _reference_block(x, k1, k2, skip)
+    got = _block_impl_wrapped(x, k1, k2, skip, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_conv_in_relu_fused_matches_reference(rng):
+    from unimatch_tpu.kernels.conv_in_fused import _cir_impl, _reference_cir
+
+    x = jnp.asarray(rng.randn(2, 21, 40, 48), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 48, 64) * 0.2, jnp.float32)
+    want = _reference_cir(x, k)
+    got = _cir_impl(x, k, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_residual_block_module_fused_dispatch(rng, monkeypatch):
+    """UNIMATCH_FUSE_BB2 dispatch: identical param tree, CPU falls back to
+    the reference twin, values match the unfused module."""
+    from unimatch_tpu.models.backbone import ResidualBlock
+
+    x = jnp.asarray(rng.randn(1, 20, 32, 64), jnp.float32)
+    blk = ResidualBlock(64)
+    blk_ch = ResidualBlock(96)  # stride-1 with channel change: downsample
+
+    monkeypatch.setenv("UNIMATCH_FUSE_BB2", "0")
+    p0 = blk.init(jax.random.PRNGKey(0), x)
+    want = blk.apply(p0, x)
+    p0c = blk_ch.init(jax.random.PRNGKey(0), x)
+    want_c = blk_ch.apply(p0c, x)
+
+    monkeypatch.setenv("UNIMATCH_FUSE_BB2", "1")
+    xb = x.astype(jnp.bfloat16)
+    p1 = blk.init(jax.random.PRNGKey(0), xb)
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    got = blk.apply(p1, xb)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.1, atol=0.05)  # bf16 input vs f32 reference
+    p1c = blk_ch.init(jax.random.PRNGKey(0), xb)
+    assert jax.tree.structure(p0c) == jax.tree.structure(p1c)
+    got_c = blk_ch.apply(p1c, xb)
+    np.testing.assert_allclose(
+        np.asarray(got_c, np.float32), np.asarray(want_c, np.float32),
+        rtol=0.1, atol=0.05)

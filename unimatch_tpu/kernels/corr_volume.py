@@ -73,23 +73,39 @@ def _build_kernel(f0_ref, f1b_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "block_p", "interpret"))
-def _build_volume_impl(f0, f1b, out_dtype=jnp.bfloat16, block_p=512, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_p", "interpret", "grid_order")
+)
+def _build_volume_impl(f0, f1b, out_dtype=jnp.bfloat16, block_p=512, interpret=False,
+                       grid_order="mp"):
     b, p, c = f0.shape
     m = f1b.shape[1]
     bm = _pick_m_block(m)
     pp = -(-p // block_p) * block_p
     f0p = _pad_rows(f0, pp)
+    if grid_order == "mp":
+        # p outer, m inner: the f0 block stays resident across the inner
+        # sweep; every f1b block re-DMAs per step (M*C bytes per p-block)
+        grid = (b, pp // block_p, m // bm)
+        f0_map = lambda i, j, k: (i, j, 0)  # noqa: E731
+        f1_map = lambda i, j, k: (i, k, 0)  # noqa: E731
+        out_map = lambda i, j, k: (i, j, k)  # noqa: E731
+    else:
+        # "pm": m outer, p inner — f1b block resident across the inner sweep,
+        # f0 (P*C bytes, ~18x smaller than M*C at flagship shape) re-streams
+        # per m-block: ~6x less input re-read traffic overall
+        grid = (b, m // bm, pp // block_p)
+        f0_map = lambda i, j, k: (i, k, 0)  # noqa: E731
+        f1_map = lambda i, j, k: (i, j, 0)  # noqa: E731
+        out_map = lambda i, j, k: (i, k, j)  # noqa: E731
     return pl.pallas_call(
         _build_kernel,
-        grid=(b, pp // block_p, m // bm),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_p, c), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm, c), lambda i, j, k: (i, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p, c), f0_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, c), f1_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_p, bm), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, block_p, bm), out_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, pp, m), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * pp * m * c,
@@ -105,10 +121,11 @@ def _build_reference(f0, f1b, out_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_with_vjp(out_dtype, block_p):
+def _build_with_vjp(out_dtype, block_p, grid_order="mp"):
     @jax.custom_vjp
     def f(f0, f1b):
-        return _build_volume_impl(f0, f1b, out_dtype=out_dtype, block_p=block_p)
+        return _build_volume_impl(f0, f1b, out_dtype=out_dtype, block_p=block_p,
+                                  grid_order=grid_order)
 
     def fwd(f0, f1b):
         return f(f0, f1b), (f0, f1b)
@@ -142,7 +159,11 @@ def build_volume(f0: jnp.ndarray, f1b: jnp.ndarray, out_dtype=jnp.bfloat16,
     # ~85 ms in round 2 — the Pallas build's reliability wins the default)
     if os.environ.get("UNIMATCH_VOLUME_BUILD", "pallas") == "xla":
         return _build_reference(f0, f1b, out_dtype)
-    return _build_with_vjp(out_dtype, block_p)(f0, f1b)
+    # grid order + p-block are env-tunable A/B levers (read OUTSIDE the jitted
+    # impl; see lookup_select_blend's note on env reads vs trace caches)
+    grid_order = os.environ.get("UNIMATCH_VOLUME_GRID", "mp")
+    block_p = int(os.environ.get("UNIMATCH_VOLUME_BP", block_p))
+    return _build_with_vjp(out_dtype, block_p, grid_order)(f0, f1b)
 
 
 # ---------------------------------------------------------------------------

@@ -146,8 +146,11 @@ def _pick_t(per_row_bytes: int, extra_rows: int, budget: int = 6 * 1024 * 1024) 
     return t
 
 
-@functools.partial(jax.jit, static_argnames=("K", "horizontal", "interpret"))
-def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("K", "horizontal", "interpret", "t_override")
+)
+def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret,
+                   t_override=None):
     b, hh, w, hd = h.shape
     cx = x.shape[-1]
     dt = h.dtype
@@ -164,7 +167,7 @@ def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret):
         hp = jnp.pad(h, ((0, 0), (0, 0), (pr, wp - w - pr), (0, 0)))
         # inputs + one f32 tap partial + z/r/q f32 temps
         per_row = wp * ((cx + hd) * dt.itemsize + hd * 4 * 5)
-        T = _pick_t(per_row, 0)
+        T = t_override or _pick_t(per_row, 0)
         hh_p = -(-hh // T) * T
         xp = jnp.pad(xp, ((0, 0), (0, hh_p - hh), (0, 0), (0, 0)))
         hp = jnp.pad(hp, ((0, 0), (0, hh_p - hh), (0, 0), (0, 0)))
@@ -193,7 +196,7 @@ def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret):
     wv = w + wpad
     per_row = wv * ((cx + hd) * dt.itemsize + hd * 4 * 5)
     halo = 2 * pr
-    T = _pick_t(per_row, 2 * halo)
+    T = t_override or _pick_t(per_row, 2 * halo)
     hh_p = -(-hh // T) * T
     xp = jnp.pad(x, ((0, 0), (halo, hh_p - hh + halo), (0, 0), (0, 0)))
     hpd = jnp.pad(h, ((0, 0), (halo, hh_p - hh + halo), (0, 0), (0, 0)))
@@ -246,10 +249,11 @@ def _reference_gru_pass(h, x, kx, khzr, kqh, bzrq, K, horizontal):
 
 
 @functools.lru_cache(maxsize=None)
-def _with_vjp(K: int, horizontal: bool):
+def _with_vjp(K: int, horizontal: bool, t_override=None):
     @jax.custom_vjp
     def f(h, x, kx, khzr, kqh, bzrq):
-        return _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, False)
+        return _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, False,
+                              t_override=t_override)
 
     def fwd(h, x, kx, khzr, kqh, bzrq):
         return f(h, x, kx, khzr, kqh, bzrq), (h, x, kx, khzr, kqh, bzrq)
@@ -281,4 +285,8 @@ def gru_pass(
         return _reference_gru_pass(h, x, kx, khzr, kqh, bzrq, K, horizontal)
     if interpret:
         return _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, True)
-    return _with_vjp(K, horizontal)(h, x, kx, khzr, kqh, bzrq)
+    # band-size A/B lever, read outside the jitted impl (trace-cache safety)
+    import os
+
+    t_override = int(os.environ.get("UNIMATCH_GRU_T", "0")) or None
+    return _with_vjp(K, horizontal, t_override)(h, x, kx, khzr, kqh, bzrq)

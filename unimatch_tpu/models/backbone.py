@@ -46,6 +46,19 @@ def _fuse_conv() -> bool:
     return os.environ.get("UNIMATCH_FUSE_BB_CONV", "0") != "0"
 
 
+def _fuse_bb2() -> bool:
+    """Round-5 fused residual-block path (kernels/conv_in_fused.py): both
+    3x3 convs tap-accumulate in VMEM, the IN + relu between them runs as the
+    second kernel's prologue, and IN statistics come out of the kernels as
+    per-band moments combined exactly in XLA — removing the f32 tap-partial
+    round-trips AND two of each norm's three full-map passes that the
+    round-3 conv_banded attempt left behind (its loss was the broken
+    conv+IN+relu producer fusion, docs/PERF_NOTES.md). Default OFF until the
+    in-situ A/B lands (the round-3 lesson: isolated wins must confirm in
+    situ before a default flips); UNIMATCH_FUSE_BB2=1 enables."""
+    return os.environ.get("UNIMATCH_FUSE_BB2", "0") != "0"
+
+
 def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
              use_bias=False, act=None, name=None):
     """conv -> instance norm -> act, fused when enabled (dilation 1 only —
@@ -69,11 +82,54 @@ class ResidualBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
 
+    def _fused_stride1(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fully fused stride-1 block (kernels/conv_in_fused.py) with the
+        identical param tree (scope access, reg_refine.py pattern)."""
+        from unimatch_tpu.kernels.conv_in_fused import residual_block_fused
+
+        cin = x.shape[-1]
+        k1 = self.scope.push("conv1").param(
+            "kernel", conv_kaiming_init, (3, 3, cin, self.planes))
+        k2 = self.scope.push("conv2").param(
+            "kernel", conv_kaiming_init, (3, 3, self.planes, self.planes))
+        skip = x
+        if cin != self.planes:
+            skip = _conv_in(x, self.planes, kernel=1, stride=1, padding=0,
+                            use_bias=True, name="downsample")
+        return residual_block_fused(x, k1, k2, skip)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_planes = x.shape[-1]
+        if (
+            _fuse_bb2() and self.stride == 1 and self.dilation == 1
+            and x.dtype == jnp.bfloat16 and not _fused_in()
+        ):
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                return self._fused_stride1(x)
+
         y = _conv_in(x, self.planes, stride=self.stride, padding=self.dilation,
                      dilation=self.dilation, act="relu", name="conv1")
+        if (
+            _fuse_bb2() and self.dilation == 1 and y.dtype == jnp.bfloat16
+            and not _fused_in()
+        ):
+            from unimatch_tpu.kernels import use_pallas
+
+            if use_pallas():
+                # strided block: conv1 stays XLA (space-to-depth stride),
+                # conv2 fuses its taps + IN + relu
+                from unimatch_tpu.kernels.conv_in_fused import conv_in_relu_fused
+
+                k2 = self.scope.push("conv2").param(
+                    "kernel", conv_kaiming_init, (3, 3, self.planes, self.planes))
+                y = conv_in_relu_fused(y, k2)
+                if self.stride != 1 or in_planes != self.planes:
+                    x = _conv_in(x, self.planes, kernel=1, stride=self.stride,
+                                 padding=0, use_bias=True, name="downsample")
+                return jax.nn.relu(x + y)
         y = _conv_in(y, self.planes, padding=self.dilation,
                      dilation=self.dilation, act="relu", name="conv2")
 
