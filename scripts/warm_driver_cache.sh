@@ -8,6 +8,9 @@
 set -e
 cd "$(dirname "$0")/.."
 
+echo "== 0/3 per-variant kernel compile gate (Mosaic shape-gate defense) =="
+timeout 7200 python scripts/compile_gate.py
+
 echo "== 1/3 bench.py (driver: 'python bench.py', real chip) =="
 timeout 3600 python bench.py
 

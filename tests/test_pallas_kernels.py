@@ -173,6 +173,15 @@ def test_gru_pass_vertical_matches_reference(rng):
     want = _reference_gru_pass(hst, x, kx, khzr, kqh, bzrq, K, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    # column-strip form (UNIMATCH_GRU_VCOL): wc=16 forces multiple strips
+    # (w=37 -> 3 strips incl. a padded one); identical math, no banding
+    from unimatch_tpu.kernels.gru_fused import _gru_pass_impl
+
+    got_col = _gru_pass_impl(hst, x, kx, khzr, kqh, bzrq, K, False, True,
+                             v_col=16)
+    np.testing.assert_allclose(
+        np.asarray(got_col), np.asarray(want), rtol=1e-5, atol=1e-5)
+
 
 def test_sepconv_gru_module_fused_dispatch(rng, monkeypatch):
     """UNIMATCH_FUSE_GRU routes SepConvGRU through the kernel's reference

@@ -139,6 +139,51 @@ def _vkernel(x_ref, h_ref, kx_ref, khzr_ref, kqh_ref, b_ref, o_ref, *, K, hd, dt
     o_ref[0] = ((1.0 - z_c) * h_c + z_c * q).astype(o_ref.dtype)
 
 
+def _vkernel_col(x_ref, h_ref, kx_ref, khzr_ref, kqh_ref, b_ref, o_ref, *, K, H, hd, dt):
+    """Vertical (Kx1) pass, COLUMN-strip form. Blocks: x [1, Hp, Wc, cx],
+    h [1, Hp, Wc, hd], o [1, H, Wc, hd]; Hp >= H + 2*pr with pr zero rows on
+    top (rows [pr, pr+H) are the image). A full-height column strip sees
+    every row, so the vertical conv needs NO halo, NO banded input
+    duplication, and NO z/r halo recompute — the row-band form (_vkernel)
+    pays a jnp.take banded copy of x and h (~2x the map, per pass per
+    iteration) plus 4*pr redundant rows per T-row band."""
+    Hp = x_ref.shape[1]
+    Wc = x_ref.shape[2]
+    cx = x_ref.shape[3]
+    pr = (K - 1) // 2
+
+    xf = x_ref[0].reshape(Hp * Wc, cx)
+    hf = h_ref[0].reshape(Hp * Wc, hd)
+
+    def conv_rows(flat, w_ref, off):
+        """Kx1 'same' conv at image rows -> [H, Wc, hd] f32 (rounded to dt
+        once, as conv_via_matmul)."""
+        acc = None
+        for k in range(K):
+            part = jax.lax.dot_general(
+                flat, w_ref[k, :, off : off + hd],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).reshape(Hp, Wc, hd)
+            sl = jax.lax.slice(part, (k, 0, 0), (k + H, Wc, hd))
+            acc = sl if acc is None else acc + sl
+        return acc.astype(dt)
+
+    xz = conv_rows(xf, kx_ref, 0).astype(jnp.float32)
+    xr = conv_rows(xf, kx_ref, hd).astype(jnp.float32)
+    hz = conv_rows(hf, khzr_ref, 0).astype(jnp.float32)
+    hr = conv_rows(hf, khzr_ref, hd).astype(jnp.float32)
+
+    z = jax.nn.sigmoid(hz + xz + b_ref[0, 0].astype(jnp.float32))
+    r = jax.nn.sigmoid(hr + xr + b_ref[0, 1].astype(jnp.float32))
+    hc = jax.lax.slice(h_ref[0], (pr, 0, 0), (pr + H, Wc, hd)).astype(jnp.float32)
+    # zero-pad r*h rows back to Hp so the q conv sees 'same' zero padding
+    rhp = jnp.pad((r * hc).astype(dt), ((pr, Hp - H - pr), (0, 0), (0, 0)))
+    qh = conv_rows(rhp.reshape(Hp * Wc, hd), kqh_ref, 0).astype(jnp.float32)
+    xq = conv_rows(xf, kx_ref, 2 * hd).astype(jnp.float32)
+    q = jnp.tanh(qh + xq + b_ref[0, 2].astype(jnp.float32))
+    o_ref[0] = ((1.0 - z) * hc + z * q).astype(o_ref.dtype)
+
+
 def _pick_t(per_row_bytes: int, extra_rows: int, budget: int = 6 * 1024 * 1024) -> int:
     t = 32
     while t > 8 and (t + extra_rows) * per_row_bytes > budget:
@@ -147,10 +192,11 @@ def _pick_t(per_row_bytes: int, extra_rows: int, budget: int = 6 * 1024 * 1024) 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "horizontal", "interpret", "t_override")
+    jax.jit, static_argnames=("K", "horizontal", "interpret", "t_override",
+                              "v_col")
 )
 def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret,
-                   t_override=None):
+                   t_override=None, v_col=0):
     b, hh, w, hd = h.shape
     cx = x.shape[-1]
     dt = h.dtype
@@ -160,6 +206,31 @@ def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret,
     khzrm = khzr.reshape(K, hd, 2 * hd).astype(dt)
     kqhm = kqh.reshape(K, hd, hd).astype(dt)
     bm = bzrq.reshape(1, 3, hd).astype(dt)
+
+    if not horizontal and v_col:
+        # column-strip vertical pass: zero-row-pad top/bottom, pad W to a
+        # strip multiple, grid over full-height column strips (no banding)
+        wc = v_col
+        wp = -(-w // wc) * wc
+        hp_rows = -(-(hh + 2 * pr) // 8) * 8
+        xp = jnp.pad(x, ((0, 0), (pr, hp_rows - hh - pr), (0, wp - w), (0, 0)))
+        hpd = jnp.pad(h, ((0, 0), (pr, hp_rows - hh - pr), (0, wp - w), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_vkernel_col, K=K, H=hh, hd=hd, dt=dt),
+            grid=(b, wp // wc),
+            in_specs=[
+                pl.BlockSpec((1, hp_rows, wc, cx), lambda i, j: (i, 0, j, 0)),
+                pl.BlockSpec((1, hp_rows, wc, hd), lambda i, j: (i, 0, j, 0)),
+                pl.BlockSpec((K, cx, 3 * hd), lambda i, j: (0, 0, 0)),
+                pl.BlockSpec((K, hd, 2 * hd), lambda i, j: (0, 0, 0)),
+                pl.BlockSpec((K, hd, hd), lambda i, j: (0, 0, 0)),
+                pl.BlockSpec((1, 3, hd), lambda i, j: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hh, wc, hd), lambda i, j: (i, 0, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, hh, wp, hd), dt),
+            interpret=interpret,
+        )(xp, hpd, kxm, khzrm, kqhm, bm)
+        return out[:, :, :w]
 
     if horizontal:
         wp = -(-(w + 2 * pr) // 8) * 8
@@ -249,11 +320,11 @@ def _reference_gru_pass(h, x, kx, khzr, kqh, bzrq, K, horizontal):
 
 
 @functools.lru_cache(maxsize=None)
-def _with_vjp(K: int, horizontal: bool, t_override=None):
+def _with_vjp(K: int, horizontal: bool, t_override=None, v_col=0):
     @jax.custom_vjp
     def f(h, x, kx, khzr, kqh, bzrq):
         return _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, False,
-                              t_override=t_override)
+                              t_override=t_override, v_col=v_col)
 
     def fwd(h, x, kx, khzr, kqh, bzrq):
         return f(h, x, kx, khzr, kqh, bzrq), (h, x, kx, khzr, kqh, bzrq)
@@ -285,8 +356,12 @@ def gru_pass(
         return _reference_gru_pass(h, x, kx, khzr, kqh, bzrq, K, horizontal)
     if interpret:
         return _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, True)
-    # band-size A/B lever, read outside the jitted impl (trace-cache safety)
+    # band-size / column-strip A/B levers, read outside the jitted impl
+    # (trace-cache safety). UNIMATCH_GRU_VCOL=<Wc> switches the vertical
+    # pass to full-height column strips of Wc columns (no banded-input
+    # duplication); 0 keeps the row-band form.
     import os
 
     t_override = int(os.environ.get("UNIMATCH_GRU_T", "0")) or None
-    return _with_vjp(K, horizontal, t_override)(h, x, kx, khzr, kqh, bzrq)
+    v_col = int(os.environ.get("UNIMATCH_GRU_VCOL", "0"))
+    return _with_vjp(K, horizontal, t_override, v_col)(h, x, kx, khzr, kqh, bzrq)
