@@ -347,6 +347,18 @@ def test_local_window_propagation_kernel_matches_reference(rng):
         ref = _reference_prop(q, k, v, 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
+    # wc=16 on a 44-wide case exercises the column sub-blocking and the
+    # pre-shifted value-plane block indexing ACROSS a column-block boundary
+    # (ncol=3 incl. a padded block), mirroring the corr-flow multi-column
+    # case above
+    b, h, w, c = 1, 12, 44, 32
+    q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32) * 3)
+    got = _local_prop_impl(q, k, v, 1, wc=16, interpret=True)
+    ref = _reference_prop(q, k, v, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
 
 def test_local_corr_disp_kernel_matches_reference(rng):
     """1-D (stereo) streaming local correlation (interpret) == the disparity

@@ -65,7 +65,15 @@ def _upsample_impl(flow, mask, upsample_factor, is_depth, t=None, interpret=Fals
     if t is None:
         # Mosaic crash line (round-4i bisection): elementwise chains on
         # [T*W, KK] tiles crash the compile helper at 2048 sublanes and
-        # compile at <= 1024 — cap the row band so T*W <= 1024
+        # compile at <= 1024 — cap the row band so T*W <= 1024. When w
+        # alone exceeds 1024 even t=1 can't satisfy the cap (would need
+        # column blocking) — fail loudly instead of re-entering the
+        # compile-crash regime with an opaque relay HTTP 500.
+        if w > 1024:
+            raise ValueError(
+                f"upsample_with_mask_fused: width {w} > 1024 exceeds the "
+                "Mosaic-safe T*W bound; use the XLA path for this shape"
+            )
         t = max(1, 1024 // w)
     hp = -(-h // t) * t
     nb = hp // t
