@@ -190,6 +190,28 @@ def test_tiled_volume_lookup_matches_feature_gather(rng, bshape, flow_scale):
     np.testing.assert_allclose(np.asarray(via), np.asarray(direct), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("flow_scale", [0.0, 2.5, 40.0])
+def test_tiled_volume_umajor_matches_feature_gather(rng, flow_scale, monkeypatch):
+    """Unit-major volume layout (UNIMATCH_VOLUME_UMAJOR=1) == direct gather:
+    the build writes [B, nUnits, Ppad, T*T] whose row-gather view is a no-op
+    bitcast (the p-major form pays a 1.76 GB relayout copy per forward at
+    the flagship shape — round-5 profiler trace)."""
+    monkeypatch.setenv("UNIMATCH_VOLUME_UMAJOR", "1")
+    b, h, w, c = 2, 16, 20, 32
+    f0 = rng.randn(b, h, w, c).astype(np.float32)
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    flow = (rng.randn(b, h, w, 2) * flow_scale).astype(np.float32)
+
+    direct = C.local_correlation_with_flow(
+        jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(flow), 4
+    )
+    vol = C.build_tiled_correlation_volume(jnp.asarray(f0), jnp.asarray(f1), 4)
+    assert vol.umajor
+    assert vol.vt.shape[1] % 8 == 0  # nUnits, rounded for the build block
+    via = C.local_correlation_with_flow_from_tiled_volume(vol, jnp.asarray(flow), 4)
+    np.testing.assert_allclose(np.asarray(via), np.asarray(direct), rtol=1e-4, atol=1e-4)
+
+
 def test_model_refine_volume_dispatch_matches_direct(rng, monkeypatch):
     """The refine loop's tiled-volume path == the direct gather path at the
     model level (UNIMATCH_REFINE_VOLUME=1 forces the volume dispatch on CPU)."""

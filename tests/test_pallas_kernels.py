@@ -117,6 +117,16 @@ def test_corr_volume_build_matches_reference(rng):
     np.testing.assert_allclose(
         np.asarray(got_pm[:, :p]), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    # unit-major layout: [B, nUnits, Ppad, T*T], per-unit leading-axis
+    # writes — the row-gather view is a no-op bitcast of this output
+    got_u = build_volume(f0, f1b, out_dtype=jnp.float32, block_p=128,
+                         interpret=True, umajor=True)
+    nu = m // 256
+    assert got_u.shape == (b, nu, got.shape[1], 256)
+    want_u = want.reshape(b, p, nu, 256).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(got_u[:, :, :p]), np.asarray(want_u), rtol=1e-5, atol=1e-5)
+
 
 @pytest.mark.smoke
 def test_corr_volume_lookup_matches_reference(rng):
@@ -285,6 +295,17 @@ def test_motion_encoder_fused_matches_reference(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
             err_msg=f"fd={fd}",
+        )
+
+        # two-stage flow im2col (UNIMATCH_MOTION_IM2COL=2stage): lanes
+        # reorder v-major with matching weight rows — same values
+        from unimatch_tpu.kernels.motion_fused import _motion_fused_impl
+
+        got2 = _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases,
+                                  fd, True, two_stage=True)
+        np.testing.assert_allclose(
+            np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"fd={fd} two_stage",
         )
 
 

@@ -73,16 +73,57 @@ def _build_kernel(f0_ref, f1b_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _build_kernel_u(f0_ref, f1b_ref, o_ref):
+    """Unit-major output: o [1, nu_blk, block_p, TILE^2] — one dot per unit
+    (static leading-axis writes), so the volume lands DIRECTLY in the
+    layout the lookup's row gather consumes ([B*nUnits*Ppad, 256] is a
+    no-op bitcast of [B, nUnits, Ppad, 256]). The round-5 profiler trace
+    showed the p-major form paying a 1.76 GB physical relayout copy
+    (5.6 ms/fwd at the flagship shape) between the build and the gather."""
+    nu = o_ref.shape[1]
+    tt = o_ref.shape[3]
+    for k in range(nu):
+        o_ref[0, k] = jax.lax.dot_general(
+            f0_ref[0], f1b_ref[0, k * tt : (k + 1) * tt, :],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "block_p", "interpret", "grid_order")
+    jax.jit,
+    static_argnames=("out_dtype", "block_p", "interpret", "grid_order", "umajor"),
 )
 def _build_volume_impl(f0, f1b, out_dtype=jnp.bfloat16, block_p=512, interpret=False,
-                       grid_order="mp"):
+                       grid_order="mp", umajor=False):
     b, p, c = f0.shape
     m = f1b.shape[1]
     bm = _pick_m_block(m)
     pp = -(-p // block_p) * block_p
     f0p = _pad_rows(f0, pp)
+    if umajor:
+        # grid mp (p outer, m inner): f0 block resident across the unit sweep
+        tt = TILE**2
+        nu_blk = bm // tt
+        return pl.pallas_call(
+            _build_kernel_u,
+            grid=(b, pp // block_p, m // bm),
+            in_specs=[
+                pl.BlockSpec((1, block_p, c), lambda i, j, k: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm, c), lambda i, j, k: (i, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nu_blk, block_p, tt),
+                                   lambda i, j, k: (i, k, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, m // tt, pp, tt), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * pp * m * c,
+                bytes_accessed=b * (pp * c + m * c + pp * m) * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(f0p, f1b)
     if grid_order == "mp":
         # p outer, m inner: the f0 block stays resident across the inner
         # sweep; every f1b block re-DMAs per step (M*C bytes per p-block)
@@ -120,12 +161,22 @@ def _build_reference(f0, f1b, out_dtype):
     return jnp.einsum("bpc,bmc->bpm", f0, f1b, preferred_element_type=out_dtype)
 
 
+def _build_reference_u(f0, f1b, out_dtype, pp):
+    """jnp twin of the unit-major build: [B, nUnits, Ppad, TILE^2]."""
+    b, p, _ = f0.shape
+    tt = TILE**2
+    nu = f1b.shape[1] // tt
+    v = _build_reference(f0, f1b, out_dtype)  # [B, P, M]
+    v = _pad_rows(v, pp)
+    return v.reshape(b, pp, nu, tt).transpose(0, 2, 1, 3)
+
+
 @functools.lru_cache(maxsize=None)
-def _build_with_vjp(out_dtype, block_p, grid_order="mp"):
+def _build_with_vjp(out_dtype, block_p, grid_order="mp", umajor=False):
     @jax.custom_vjp
     def f(f0, f1b):
         return _build_volume_impl(f0, f1b, out_dtype=out_dtype, block_p=block_p,
-                                  grid_order=grid_order)
+                                  grid_order=grid_order, umajor=umajor)
 
     def fwd(f0, f1b):
         return f(f0, f1b), (f0, f1b)
@@ -133,7 +184,13 @@ def _build_with_vjp(out_dtype, block_p, grid_order="mp"):
     def bwd(res, g):
         f0, f1b = res
         p = f0.shape[1]
-        _, vjp = jax.vjp(lambda a, b: _build_reference(a, b, out_dtype), f0, f1b)
+        if umajor:
+            b = f0.shape[0]
+            tt = TILE**2
+            g2 = g.transpose(0, 2, 1, 3).reshape(b, g.shape[2], -1)[:, :p]
+            _, vjp = jax.vjp(lambda a, c: _build_reference(a, c, out_dtype), f0, f1b)
+            return vjp(g2.astype(out_dtype))
+        _, vjp = jax.vjp(lambda a, c: _build_reference(a, c, out_dtype), f0, f1b)
         return vjp(g[:, :p].astype(out_dtype))
 
     f.defvjp(fwd, bwd)
@@ -141,29 +198,40 @@ def _build_with_vjp(out_dtype, block_p, grid_order="mp"):
 
 
 def build_volume(f0: jnp.ndarray, f1b: jnp.ndarray, out_dtype=jnp.bfloat16,
-                 block_p: int = 512, interpret: bool = False) -> jnp.ndarray:
-    """All-pairs correlation volume, unscaled: [B, Ppad, M] in out_dtype.
+                 block_p: int = 512, interpret: bool = False,
+                 umajor: bool = False) -> jnp.ndarray:
+    """All-pairs correlation volume, unscaled, in out_dtype.
 
     f0: [B, P, C] query features; f1b: [B, M, C] pre-blocked (tiled-unit
-    layout) target features. Rows >= P of the output are padding garbage —
-    callers index p < P only. Values match the jnp einsum with
-    preferred_element_type=out_dtype (single f32->out_dtype rounding).
+    layout) target features. Layouts: p-major (default) [B, Ppad, M], or
+    umajor=True [B, M/TILE^2 units, Ppad, TILE^2] — the unit-major form is
+    bitcast-identical to the [B*nUnits*Ppad, TILE^2] row-gather view the
+    lookup consumes, so no relayout copy sits between build and gather
+    (round-5 profiler: that copy cost 5.6 ms/fwd at the flagship shape).
+    Rows >= P of the pixel axis are padding garbage — callers index p < P
+    only. Values match the jnp einsum with preferred_element_type=out_dtype
+    (single f32->out_dtype rounding).
     """
+    pp = -(-f0.shape[1] // block_p) * block_p
     if interpret:
         return _build_volume_impl(f0, f1b, out_dtype=out_dtype, block_p=block_p,
-                                  interpret=True)
+                                  interpret=True, umajor=umajor)
     if jax.default_backend() == "cpu":
+        if umajor:
+            return _build_reference_u(f0, f1b, out_dtype, pp)
         return _build_reference(f0, f1b, out_dtype)
     # UNIMATCH_VOLUME_BUILD=xla uses the plain einsum (A/B lever: 9.3 vs
     # 11.4 ms isolated this round, but the einsum form measured a bimodal
     # ~85 ms in round 2 — the Pallas build's reliability wins the default)
     if os.environ.get("UNIMATCH_VOLUME_BUILD", "pallas") == "xla":
+        if umajor:
+            return _build_reference_u(f0, f1b, out_dtype, pp)
         return _build_reference(f0, f1b, out_dtype)
     # grid order + p-block are env-tunable A/B levers (read OUTSIDE the jitted
     # impl; see lookup_select_blend's note on env reads vs trace caches)
     grid_order = os.environ.get("UNIMATCH_VOLUME_GRID", "mp")
     block_p = int(os.environ.get("UNIMATCH_VOLUME_BP", block_p))
-    return _build_with_vjp(out_dtype, block_p, grid_order)(f0, f1b)
+    return _build_with_vjp(out_dtype, block_p, grid_order, umajor)(f0, f1b)
 
 
 # ---------------------------------------------------------------------------

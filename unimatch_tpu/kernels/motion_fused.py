@@ -122,20 +122,37 @@ def _kernel(x_ref, wc1_ref, wf1_ref, wc2_ref, wf2_ref, wm_ref, b_ref, o_ref,
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("fd", "interpret"))
-def _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd, interpret):
+@functools.partial(jax.jit, static_argnames=("fd", "interpret", "two_stage"))
+def _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd, interpret,
+                       two_stage=False):
     b, h, w, ck = corr.shape
     dt = corr.dtype
     T = 8
     hp = -(-h // T) * T
     wp = -(-(w + 2 * _HALO) // 8) * 8
 
-    # flow 7x7 im2col (fd <= 2 channels -> 49*fd <= 98 lanes), zero padded
+    # flow 7x7 im2col (fd <= 2 channels -> 49*fd <= 98 lanes), zero padded.
+    # Two-stage form (UNIMATCH_MOTION_IM2COL=2stage): one 7-slice row-shift
+    # concat to [*, 7*fd], then one 7-slice col-shift concat of THAT —
+    # 14 lane-concat reads instead of a flat 49-way concat of [H, W, fd]
+    # slices, each of which lane-pads fd -> 128 physically (the round-5
+    # profiler put the flat form's concat + pad_slice fusions at
+    # ~1.07 ms/iteration, ~6.4 ms/fwd). Weight rows are reordered to match
+    # (lane k = v*7*fd + u*fd + ch); values identical up to f32 summation
+    # order inside the stage-1 dot.
     fp = jnp.pad(flow, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    fim = jnp.concatenate(
-        [fp[:, u : u + h, v : v + w, :] for u in range(7) for v in range(7)],
-        axis=-1,
-    )  # [B, H, W, 49*fd]
+    if two_stage:
+        frow = jnp.concatenate(
+            [fp[:, u : u + h, :, :] for u in range(7)], axis=-1
+        )  # [B, H, W+6, 7*fd], lanes u-major
+        fim = jnp.concatenate(
+            [frow[:, :, v : v + w, :] for v in range(7)], axis=-1
+        )  # [B, H, W, 49*fd], lanes v-major over (u, ch)
+    else:
+        fim = jnp.concatenate(
+            [fp[:, u : u + h, v : v + w, :] for u in range(7) for v in range(7)],
+            axis=-1,
+        )  # [B, H, W, 49*fd], lanes (u, v)-major
 
     # one lane-aligned band input: [corr | 0 -> 128 | im2col(flow) | 0 -> 256]
     x = jnp.concatenate(
@@ -153,12 +170,14 @@ def _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd, interpret
     )
     xb = jnp.take(x, rows, axis=1)  # [B, nt, T+4, Wp, 256]
 
-    # stage-1 weights, zero-extended over the lanes they ignore
+    # stage-1 weights, zero-extended over the lanes they ignore; the
+    # two-stage im2col orders lanes v-major over (u, ch)
+    wf1r = wf1.transpose(1, 0, 2, 3) if two_stage else wf1
     wc1m = jnp.zeros((256, 256), dt).at[:ck].set(wc1.reshape(ck, 256).astype(dt))
     wf1m = (
         jnp.zeros((256, 128), dt)
         .at[128 : 128 + 49 * fd]
-        .set(wf1.reshape(49 * fd, 128).astype(dt))
+        .set(wf1r.reshape(49 * fd, 128).astype(dt))
     )
     bmat = jnp.zeros((1, 5, 256), dt)
     for i, bias in enumerate(biases):
@@ -210,10 +229,11 @@ def _reference_motion(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd):
 
 
 @functools.lru_cache(maxsize=None)
-def _with_vjp(fd: int):
+def _with_vjp(fd: int, two_stage: bool = False):
     @jax.custom_vjp
     def f(corr, flow, wc1, wc2, wf1, wf2, wm, biases):
-        return _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd, False)
+        return _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd,
+                                  False, two_stage=two_stage)
 
     def fwd(*args):
         return f(*args), args
@@ -242,6 +262,11 @@ def motion_encoder_fused(
     biases = tuple(biases)
     if jax.default_backend() == "cpu" and not interpret:
         return _reference_motion(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd)
+    import os
+
+    # env read OUTSIDE the jitted impl (trace-cache safety)
+    two_stage = os.environ.get("UNIMATCH_MOTION_IM2COL", "flat") == "2stage"
     if interpret:
-        return _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd, True)
-    return _with_vjp(fd)(corr, flow, wc1, wc2, wf1, wf2, wm, biases)
+        return _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd,
+                                  True, two_stage=two_stage)
+    return _with_vjp(fd, two_stage)(corr, flow, wc1, wc2, wf1, wf2, wm, biases)

@@ -322,7 +322,8 @@ class TiledVolume:
     (Pallas build pads the pixel axis; rows >= H*W are unused).
     """
 
-    def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad, nrc, ngc):
+    def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad, nrc, ngc,
+                 umajor=False):
         self.vt = vt
         self.h, self.w = h, w
         self.hp, self.wp = hp, wp
@@ -331,6 +332,10 @@ class TiledVolume:
         self.scale = scale  # 1/sqrt(C)
         self.ppad = ppad
         self.nrc, self.ngc = nrc, ngc  # core (image-covering) tile grid
+        # unit-major layout [B, nUnits, Ppad, T*T]: the row-gather view is a
+        # no-op bitcast of the build kernel's output (p-major pays a 1.76 GB
+        # relayout copy, 5.6 ms/fwd at the flagship shape — round-5 trace)
+        self.umajor = umajor
 
 
 _VOL_TILE = 16
@@ -392,10 +397,19 @@ def build_tiled_correlation_volume(
     f0 = feature0.reshape(b, h * w, c)
     from unimatch_tpu.kernels.corr_volume import build_volume
 
-    vt = build_volume(f0, f1b, out_dtype=feature0.dtype)  # [B, Ppad, M]
-    ppad = vt.shape[1]
-    vt = vt.reshape(b, ppad, n_units, t * t)
-    return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5), ppad, nrc, ngc)
+    # unit-major layout (UNIMATCH_VOLUME_UMAJOR, round-5): the build writes
+    # [B, nUnits, Ppad, T*T] directly, whose flattened row-gather view is a
+    # no-op bitcast — the p-major form pays a 1.76 GB physical relayout
+    # copy between build and gather (5.6 ms/fwd, round-5 profiler trace)
+    umajor = os.environ.get("UNIMATCH_VOLUME_UMAJOR", "0") != "0"
+    vt = build_volume(f0, f1b, out_dtype=feature0.dtype, umajor=umajor)
+    if umajor:
+        ppad = vt.shape[2]  # [B, nUnits, Ppad, T*T]
+    else:
+        ppad = vt.shape[1]
+        vt = vt.reshape(b, ppad, n_units, t * t)
+    return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5), ppad, nrc, ngc,
+                       umajor=umajor)
 
 
 def local_correlation_with_flow_from_tiled_volume(
@@ -417,7 +431,7 @@ def local_correlation_with_flow_from_tiled_volume(
     k = 2 * r + 1
     kk = k + 1
     nrc, ngc = vol.nrc, vol.ngc
-    n_units = vol.vt.shape[2]
+    n_units = vol.vt.shape[1] if vol.umajor else vol.vt.shape[2]
     sentinel = nrc * ngc  # the shared all-zero unit
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -443,15 +457,22 @@ def local_correlation_with_flow_from_tiled_volume(
     # core grid, and anything outside it reads the zero sentinel.
     flat = vol.vt.reshape(b * vol.ppad * n_units, t * t)
     iu = jnp.arange(2, dtype=jnp.int32)
-    base = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0) * (vol.ppad * n_units) + (
+    pix = (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w
         + jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    ) * n_units
+    )
+    bi = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0)
     ru = r0[None, None] + iu[None, :, None, None, None] - 1  # [1, 2, B, H, W]
     gu = g0[None, None] + iu[:, None, None, None, None] - 1  # [2, 1, B, H, W]
     in_core = (ru >= 0) & (ru < nrc) & (gu >= 0) & (gu < ngc)
     unit = jnp.where(in_core, ru * ngc + gu, sentinel)  # [2, 2, B, H, W]
-    idx = base[None, None] + unit  # [2 (x-unit), 2 (y-unit), B, H, W]
+    if vol.umajor:
+        # [B, nUnits, Ppad, T*T] flattened: row = (b*nUnits + u)*Ppad + p
+        base = bi * (n_units * vol.ppad) + pix
+        idx = base[None, None] + unit * vol.ppad
+    else:
+        base = bi * (vol.ppad * n_units) + pix * n_units
+        idx = base[None, None] + unit  # [2 (x-unit), 2 (y-unit), B, H, W]
     g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b * h * w, t * t)
 
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
