@@ -127,32 +127,6 @@ def test_correlation_softmax_depth(rng, bidir):
     np.testing.assert_allclose(np.asarray(depth), nhwc(ref_depth), rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("bidir", [False, True])
-def test_depth_corr_volume_reformulation(rng, bidir, monkeypatch):
-    """UNIMATCH_DEPTH_VOLUME=1 (corr via the prebuilt [P, HW] volume) ==
-    the grid-sample warp path: bilinear sampling is linear in feature1, so
-    the two differ only by the dot/bilinear reassociation rounding."""
-    b, h, w, c, d = 1, 12, 16, 32, 16
-    f0 = rng.randn(b, h, w, c).astype(np.float32)
-    f1 = rng.randn(b, h, w, c).astype(np.float32)
-    K = np.array([[[18.0, 0, 7.5], [0, 18.0, 5.5], [0, 0, 1]]] * b, np.float32)
-    pose = np.stack([_random_pose(rng) for _ in range(b)])
-    inv_depth = np.linspace(1 / 0.5, 1 / 10.0, d, dtype=np.float32)
-    cand = np.broadcast_to(inv_depth[None, :, None, None], (b, d, h, w)).copy()
-    args = (jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(K), jnp.asarray(pose),
-            jnp.asarray(cand))
-
-    monkeypatch.delenv("UNIMATCH_DEPTH_VOLUME", raising=False)
-    want_depth, want_prob = C.correlation_softmax_depth(*args, pred_bidir_depth=bidir)
-    monkeypatch.setenv("UNIMATCH_DEPTH_VOLUME", "1")
-    got_depth, got_prob = C.correlation_softmax_depth(*args, pred_bidir_depth=bidir)
-
-    np.testing.assert_allclose(
-        np.asarray(got_prob), np.asarray(want_prob), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(got_depth), np.asarray(want_depth), rtol=1e-4, atol=1e-5)
-
-
 def test_volume_lookup_matches_feature_gather(rng):
     """Precomputed-volume refinement lookup == direct feature gather."""
     import jax.numpy as jnp2

@@ -687,73 +687,6 @@ def warp_with_pose_depth_candidates(
     return G.grid_sample(feature1, pixel, padding_mode="zeros")  # [B, D, H, W, C]
 
 
-def _depth_corr_from_volume(
-    feature0: jnp.ndarray,  # [B, H, W, C]
-    feature1: jnp.ndarray,  # [B, H, W, C]
-    intrinsics: jnp.ndarray,
-    pose: jnp.ndarray,
-    depth: jnp.ndarray,  # [B, D, H, W] metric depth
-) -> jnp.ndarray:
-    """Plane-sweep correlation via a prebuilt [P, HW] volume (no warped
-    feature tensor).
-
-    Bilinear sampling is linear in feature1 and the per-pixel dot with
-    feature0 distributes over it, so
-
-        corr[p, d] = <bilinear(f1, xy[p, d]), f0[p]>
-                   = bilinear(vol[p] viewed as [H, W], xy[p, d]),
-
-    where vol = f0 @ f1^T is one MXU matmul ([P, C] x [C, HW] — at the
-    GMDepth scale1 shape 4800x4800, ~5.9 GFLOP + a 46 MB bf16 write). The
-    current grid-sample path instead gathers 4 C-wide feature rows per
-    (p, d) candidate and materializes warped [B, D, H, W, C] (~79 MB at
-    that shape) before the reduction einsum reads it again; here the
-    per-(p, d) traffic is 4 scalars gathered along vol's minor axis.
-    Reference semantics: matching.py:203-236 + 239-282 composed.
-    """
-    b, h, w, c = feature0.shape
-    d = depth.shape[1]
-    p = h * w
-    dt = feature0.dtype
-
-    # volume in bf16 (single f32->bf16 rounding, as the refine volume build)
-    vol = jnp.einsum(
-        "bpc,bqc->bpq",
-        feature0.reshape(b, p, c),
-        feature1.reshape(b, p, c),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
-
-    pixel = _pose_depth_pixel_coords(intrinsics, pose, depth)  # [B, D, H, W, 2]
-    xy = pixel.reshape(b, d, p, 2)
-    x = xy[..., 0].astype(jnp.float32)
-    y = xy[..., 1].astype(jnp.float32)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx1 = x - x0
-    wy1 = y - y0
-
-    corr = None
-    for (iy, ix, wgt) in (
-        (y0, x0, (1.0 - wy1) * (1.0 - wx1)),
-        (y0, x0 + 1.0, (1.0 - wy1) * wx1),
-        (y0 + 1.0, x0, wy1 * (1.0 - wx1)),
-        (y0 + 1.0, x0 + 1.0, wy1 * wx1),
-    ):
-        valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
-        idx = (
-            jnp.clip(iy, 0, h - 1).astype(jnp.int32) * w
-            + jnp.clip(ix, 0, w - 1).astype(jnp.int32)
-        )  # [B, D, P]
-        vals = jnp.take_along_axis(
-            vol, jnp.swapaxes(idx, 1, 2), axis=2
-        )  # [B, P, D]
-        t = jnp.swapaxes(vals, 1, 2).astype(jnp.float32) * jnp.where(valid, wgt, 0.0)
-        corr = t if corr is None else corr + t
-
-    return (corr / jnp.sqrt(jnp.float32(c))).reshape(b, d, h, w)
-
-
 def correlation_softmax_depth(
     feature0: jnp.ndarray,
     feature1: jnp.ndarray,
@@ -779,22 +712,18 @@ def correlation_softmax_depth(
         pose = jnp.concatenate([pose, jnp.linalg.inv(pose)], axis=0)
         depth_candidates = jnp.concatenate([depth_candidates, depth_candidates], axis=0)
 
-    # UNIMATCH_DEPTH_VOLUME=1: correlation via the prebuilt [P, HW] volume
-    # (one MXU matmul + 4 scalar gathers per candidate) instead of the
-    # 4-feature-row-gathers-per-candidate grid-sample warp; identical math
-    # up to the bilinear/dot reassociation rounding (linearity), A/B lever
-    # for the GMDepth plane-sweep cost (docs/PERF_NOTES.md round 5)
-    if os.environ.get("UNIMATCH_DEPTH_VOLUME", "0") != "0":
-        corr = _depth_corr_from_volume(
-            feature0, feature1, intrinsics, pose, 1.0 / depth_candidates
-        )
-    else:
-        warped = warp_with_pose_depth_candidates(
-            feature1, intrinsics, pose, 1.0 / depth_candidates
-        )  # [B, D, H, W, C]
-        corr = jnp.einsum(
-            "bdhwc,bhwc->bdhw", warped, feature0, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.float32(c))
+    # A prebuilt-[P, HW]-volume reformulation of this correlation (one MXU
+    # matmul + 4 scalar take_along_axis gathers per candidate) measured ~3x
+    # SLOWER on chip (17.1 vs 5.4 ms isolated, 21.8 vs 12.4 ms full GMDepth
+    # forward — docs/PERF_NOTES.md round 5): sub-transaction scalar gathers
+    # lose to the 4-feature-row grid-sample warp, the same failure mode as
+    # the round-2 flat RAFT-style refine volume. Removed (git cbab3e9).
+    warped = warp_with_pose_depth_candidates(
+        feature1, intrinsics, pose, 1.0 / depth_candidates
+    )  # [B, D, H, W, C]
+    corr = jnp.einsum(
+        "bdhwc,bhwc->bdhw", warped, feature0, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))
 
     prob = jax.nn.softmax(corr, axis=1)  # over D, fp32
 
