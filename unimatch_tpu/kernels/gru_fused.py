@@ -359,9 +359,11 @@ def gru_pass(
     # band-size / column-strip A/B levers, read outside the jitted impl
     # (trace-cache safety). UNIMATCH_GRU_VCOL=<Wc> switches the vertical
     # pass to full-height column strips of Wc columns (no banded-input
-    # duplication); 0 keeps the row-band form.
+    # duplication); 0 selects the row-band form. Default 16 since round-5c:
+    # exact parity (same math, different grid), in-situ part of the −12.3 ms
+    # flagship combo; 64/128 strips scoped-VMEM OOM (PERF_NOTES round-5a/c).
     import os
 
     t_override = int(os.environ.get("UNIMATCH_GRU_T", "0")) or None
-    v_col = int(os.environ.get("UNIMATCH_GRU_VCOL", "0"))
+    v_col = int(os.environ.get("UNIMATCH_GRU_VCOL", "16"))
     return _with_vjp(K, horizontal, t_override, v_col)(h, x, kx, khzr, kqh, bzrq)

@@ -264,8 +264,11 @@ def motion_encoder_fused(
         return _reference_motion(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd)
     import os
 
-    # env read OUTSIDE the jitted impl (trace-cache safety)
-    two_stage = os.environ.get("UNIMATCH_MOTION_IM2COL", "flat") == "2stage"
+    # env read OUTSIDE the jitted impl (trace-cache safety). Default 2stage
+    # since round-5c: in-situ −5.4 ms on the flagship (the flat 49-way
+    # concat's physical fd->128 lane pads cost ~6.4 ms/fwd); one-step parity
+    # pinned in tests, values differ only in stage-1 f32 summation order.
+    two_stage = os.environ.get("UNIMATCH_MOTION_IM2COL", "2stage") == "2stage"
     if interpret:
         return _motion_fused_impl(corr, flow, wc1, wc2, wf1, wf2, wm, biases, fd,
                                   True, two_stage=two_stage)

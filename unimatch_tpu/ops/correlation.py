@@ -397,11 +397,12 @@ def build_tiled_correlation_volume(
     f0 = feature0.reshape(b, h * w, c)
     from unimatch_tpu.kernels.corr_volume import build_volume
 
-    # unit-major layout (UNIMATCH_VOLUME_UMAJOR, round-5): the build writes
-    # [B, nUnits, Ppad, T*T] directly, whose flattened row-gather view is a
-    # no-op bitcast — the p-major form pays a 1.76 GB physical relayout
-    # copy between build and gather (5.6 ms/fwd, round-5 profiler trace)
-    umajor = os.environ.get("UNIMATCH_VOLUME_UMAJOR", "0") != "0"
+    # unit-major layout (UNIMATCH_VOLUME_UMAJOR, round-5, default ON): the
+    # build writes [B, nUnits, Ppad, T*T] directly, whose flattened
+    # row-gather view is a no-op bitcast — the p-major form pays a 1.76 GB
+    # physical relayout copy between build and gather (5.6 ms/fwd, round-5
+    # profiler trace; in-situ −5.0 ms, exact parity — PERF_NOTES round-5c)
+    umajor = os.environ.get("UNIMATCH_VOLUME_UMAJOR", "1") != "0"
     vt = build_volume(f0, f1b, out_dtype=feature0.dtype, umajor=umajor)
     if umajor:
         ppad = vt.shape[2]  # [B, nUnits, Ppad, T*T]
