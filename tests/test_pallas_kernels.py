@@ -220,35 +220,6 @@ def test_sepconv_gru_module_fused_dispatch(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.06)
 
 
-def test_banded_conv2d_matches_reference(rng):
-    from unimatch_tpu.kernels.conv_banded import banded_conv2d, _reference_conv
-
-    for kh, kw, cin, cout in [(3, 3, 64, 64), (1, 5, 32, 48), (7, 7, 16, 32), (5, 1, 32, 32)]:
-        x = jnp.asarray(rng.randn(1, 21, 27, cin).astype(np.float32))
-        k = jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32) * 0.05)
-        b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
-        got = banded_conv2d(x, k, b, act="relu", interpret=True)
-        want = _reference_conv(x, k, b, kh, kw, "relu")
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
-            err_msg=f"k={kh}x{kw} c={cin}->{cout}",
-        )
-
-
-def test_conv2d_fuse_dispatch_matches_unfused(rng, monkeypatch):
-    """Conv2d(fuse=True) routes through the banded kernel's reference twin
-    on CPU; values match the conv_via_matmul form with identical params."""
-    from unimatch_tpu.models.layers import conv2d
-
-    x = jnp.asarray(rng.randn(1, 14, 22, 32).astype(np.float32))
-    mod = conv2d(48, 3, padding=1, act="relu", fuse=True, name="c")
-    params = mod.init(jax.random.PRNGKey(0), x)
-    want = mod.apply(params, x)  # use_pallas() False on CPU -> XLA path
-    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
-    got = mod.apply(params, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
-
-
 def test_transformer_ffn_fuse_dispatch(rng, monkeypatch):
     """UNIMATCH_FUSE_FFN routes the FFN tail through the kernel's reference
     twin on CPU with an identical param tree; values match the XLA form."""
@@ -352,35 +323,6 @@ def test_local_corr_flow_kernel_matches_reference(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_local_window_propagation_kernel_matches_reference(rng):
-    """Streaming local propagation (interpret) == the extract_patches form,
-    zero-pad unfold semantics (no border masking), Cf in {1, 2}."""
-    from unimatch_tpu.kernels.local_corr import (
-        _local_prop_impl, _reference_prop,
-    )
-
-    for cf in (1, 2):
-        b, h, w, c = 1, 10, 20, 32
-        q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-        k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-        v = jnp.asarray(rng.randn(b, h, w, cf).astype(np.float32) * 3)
-        got = _local_prop_impl(q, k, v, 1, interpret=True)
-        ref = _reference_prop(q, k, v, 1)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
-
-    # wc=16 on a 44-wide case exercises the column sub-blocking and the
-    # pre-shifted value-plane block indexing ACROSS a column-block boundary
-    # (ncol=3 incl. a padded block), mirroring the corr-flow multi-column
-    # case above
-    b, h, w, c = 1, 12, 44, 32
-    q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    v = jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32) * 3)
-    got = _local_prop_impl(q, k, v, 1, wc=16, interpret=True)
-    ref = _reference_prop(q, k, v, 1)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
-
-
 def test_local_corr_disp_kernel_matches_reference(rng):
     """1-D (stereo) streaming local correlation (interpret) == the disparity
     half of local_correlation_softmax_stereo."""
@@ -410,75 +352,6 @@ def test_corr_volume_build_compact_unit_counts(rng):
         np.testing.assert_allclose(
             np.asarray(got[:, :64]), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
-
-
-def test_upsample_fused_kernel_matches_reference(rng):
-    """Fused convex upsample (interpret) == ops.upsample.upsample_with_mask,
-    flow and depth forms, non-multiple-of-band heights."""
-    from unimatch_tpu.kernels.upsample_fused import _upsample_impl, _reference
-
-    for (b, h, w, cf, k, is_depth) in [(1, 10, 12, 2, 8, False), (1, 8, 16, 1, 4, True)]:
-        flow = jnp.asarray(rng.randn(b, h, w, cf).astype(np.float32) * 2)
-        mask = jnp.asarray(rng.randn(b, h, w, 9 * k * k).astype(np.float32))
-        got = _upsample_impl(flow, mask, k, is_depth, interpret=True)
-        ref = _reference(flow, mask, k, is_depth)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
-
-
-
-@pytest.mark.smoke
-def test_fused_head_matches_reference(rng):
-    """Fused two-conv head (interpret) == conv3x3 -> relu -> conv KxK chain,
-    at both head forms (flow: 3x3 cout 2; mask: 1x1 cout 144) and at a
-    height that is not a band multiple."""
-    from unimatch_tpu.kernels.head_fused import fused_head, _reference_head
-
-    for (kh2, kw2, cout) in ((3, 3, 2), (1, 1, 144)):
-        b, h, w, cin, chid = 1, 19, 24, 128, 256
-        x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
-        k1 = jnp.asarray(rng.randn(3, 3, cin, chid).astype(np.float32) * 0.05)
-        b1 = jnp.asarray(rng.randn(chid).astype(np.float32) * 0.1)
-        k2 = jnp.asarray(rng.randn(kh2, kw2, chid, cout).astype(np.float32) * 0.05)
-        b2 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
-
-        got = fused_head(x, k1, b1, k2, b2, interpret=True)
-        want = _reference_head(x, k1, b1, k2, b2, 3, 3, kh2, kw2, "relu")
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
-            err_msg=f"k2={kh2}x{kw2} cout={cout}",
-        )
-
-
-def test_flow_head_fused_dispatch(rng, monkeypatch):
-    """UNIMATCH_FUSE_HEAD routes FlowHead + mask head through the kernel's
-    reference twin on CPU with an identical param tree."""
-    from unimatch_tpu.models.reg_refine import BasicUpdateBlock
-
-    b, h, w = 1, 16, 24
-    net = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
-    inp = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
-    corr = jnp.asarray(rng.randn(b, h, w, 81), jnp.bfloat16)
-    flow = jnp.asarray(rng.randn(b, h, w, 2), jnp.bfloat16)
-    blk = BasicUpdateBlock(downsample_factor=4, flow_dim=2, bilinear_up=False)
-
-    monkeypatch.setenv("UNIMATCH_FUSE_HEAD", "0")
-    params = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    _, want_mask, want_delta = blk.apply(params, net, inp, corr, flow)
-
-    monkeypatch.setenv("UNIMATCH_FUSE_HEAD", "1")
-    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
-    params2 = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
-    assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(lambda a: a.shape, params2)
-    _, got_mask, got_delta = blk.apply(params, net, inp, corr, flow)
-    # twin adds bias in f32 before the bf16 cast; the unfused chain adds it
-    # in bf16 — pure bf16 rounding, so the bound is relative
-    np.testing.assert_allclose(
-        np.asarray(got_delta.astype(jnp.float32)),
-        np.asarray(want_delta.astype(jnp.float32)), rtol=0.05, atol=0.1)
-    np.testing.assert_allclose(
-        np.asarray(got_mask.astype(jnp.float32)),
-        np.asarray(want_mask.astype(jnp.float32)), rtol=0.05, atol=0.1)
 
 
 def test_conv_bf16_partials_close(rng, monkeypatch):
@@ -556,160 +429,3 @@ def test_corr_volume_lookup_narrow_matches_reference(rng, monkeypatch):
     want = _lookup_reference(g, sc, k, 0.125, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
 
-
-@pytest.mark.smoke
-def test_fused_update_matches_reference(rng):
-    """Whole-step fused update (interpret; motion+GRU-h, GRU-v, head
-    kernels) == the composition of the per-piece reference twins
-    (motion -> GRU h/v -> head), fd in {2, 1}, odd extents exercising
-    row-band and column padding."""
-    from unimatch_tpu.kernels.update_fused import fused_update, _reference_update
-
-    for fd in (2, 1):
-        b, h, w, hd, ck = 1, 19, 26, 128, 81
-        net = jnp.asarray(rng.randn(b, h, w, hd).astype(np.float32))
-        inp = jnp.asarray(rng.randn(b, h, w, hd).astype(np.float32))
-        corr = jnp.asarray(rng.randn(b, h, w, ck).astype(np.float32))
-        flow = jnp.asarray((rng.randn(b, h, w, fd) * 3).astype(np.float32))
-
-        mw = tuple(
-            jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05)
-            for s in ((1, 1, ck, 256), (3, 3, 256, 192), (7, 7, fd, 128),
-                      (3, 3, 128, 64), (3, 3, 256, 128 - fd))
-        )
-        mb = tuple(
-            jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
-            for n in (256, 128, 192, 64, 128 - fd)
-        )
-        gs = []
-        for ksz in ((1, 5), (5, 1)):
-            kx = jnp.asarray(rng.randn(*ksz, 2 * hd, 3 * hd).astype(np.float32) * 0.05)
-            khzr = jnp.asarray(rng.randn(*ksz, hd, 2 * hd).astype(np.float32) * 0.05)
-            kqh = jnp.asarray(rng.randn(*ksz, hd, hd).astype(np.float32) * 0.05)
-            bzrq = jnp.asarray(rng.randn(3, hd).astype(np.float32) * 0.1)
-            gs.append((kx, khzr, kqh, bzrq))
-        hk1 = jnp.asarray(rng.randn(3, 3, hd, 256).astype(np.float32) * 0.05)
-        hb1 = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
-        hk2 = jnp.asarray(rng.randn(3, 3, 256, fd).astype(np.float32) * 0.05)
-        hb2 = jnp.asarray(rng.randn(fd).astype(np.float32) * 0.1)
-
-        got_h, got_d = fused_update(net, inp, corr, flow, mw, mb, gs[0], gs[1],
-                                    hk1, hb1, hk2, hb2, interpret=True)
-        want_h, want_d = _reference_update(net, inp, corr, flow, mw, mb,
-                                           gs[0], gs[1], hk1, hb1, hk2, hb2, fd)
-        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
-                                   rtol=1e-4, atol=1e-4, err_msg=f"h fd={fd}")
-        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
-                                   rtol=1e-4, atol=2e-4, err_msg=f"delta fd={fd}")
-
-
-def test_update_block_fused_dispatch(rng, monkeypatch):
-    """UNIMATCH_FUSE_UPDATE routes BasicUpdateBlock (with_mask=False)
-    through the whole-step kernel's reference twin on CPU with an identical
-    param tree; values match the per-module path."""
-    from unimatch_tpu.models.reg_refine import BasicUpdateBlock
-
-    b, h, w = 1, 12, 18
-    net = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
-    inp = jnp.asarray(rng.randn(b, h, w, 128), jnp.bfloat16)
-    corr = jnp.asarray(rng.randn(b, h, w, 81), jnp.bfloat16)
-    flow = jnp.asarray(rng.randn(b, h, w, 2) * 2, jnp.bfloat16)
-    blk = BasicUpdateBlock(downsample_factor=8, flow_dim=2)
-
-    monkeypatch.setenv("UNIMATCH_FUSE_UPDATE", "0")
-    params = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    want_net, _, want_delta = blk.apply(params, net, inp, corr, flow, with_mask=False)
-
-    monkeypatch.setenv("UNIMATCH_FUSE_UPDATE", "1")
-    monkeypatch.setattr("unimatch_tpu.kernels.use_pallas", lambda: True)
-    got_net, got_mask, got_delta = blk.apply(
-        params, net, inp, corr, flow, with_mask=False
-    )
-    assert got_mask is None
-    # bf16 graphs with differently-associated convs; GRU output bounded
-    np.testing.assert_allclose(
-        np.asarray(got_net, np.float32), np.asarray(want_net, np.float32), atol=0.08
-    )
-    # delta values span +-8 here; 0.2 is ~3 bf16 ulps at that magnitude
-    np.testing.assert_allclose(
-        np.asarray(got_delta, np.float32), np.asarray(want_delta, np.float32), atol=0.2
-    )
-
-
-@pytest.mark.smoke
-def test_residual_block_fused_matches_reference(rng):
-    """Fused conv+IN residual block (interpret) == the XLA ResidualBlock
-    math, including banded-moment IN statistics (exact Chan combination)."""
-    from unimatch_tpu.kernels.conv_in_fused import (
-        _block_impl_wrapped, _reference_block,
-    )
-
-    for b, h, w, cin, c in ((1, 24, 40, 64, 64), (2, 37, 48, 32, 32)):
-        x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
-        k1 = jnp.asarray(rng.randn(3, 3, cin, c) * 0.2, jnp.float32)
-        k2 = jnp.asarray(rng.randn(3, 3, c, c) * 0.2, jnp.float32)
-        want = _reference_block(x, k1, k2)
-        got = _block_impl_wrapped(x, k1, k2, x, True)
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32),
-            rtol=2e-5, atol=2e-5)
-
-
-def test_residual_block_fused_skip_override(rng):
-    from unimatch_tpu.kernels.conv_in_fused import (
-        _block_impl_wrapped, _reference_block,
-    )
-
-    x = jnp.asarray(rng.randn(1, 16, 24, 32), jnp.float32)
-    skip = jnp.asarray(rng.randn(1, 16, 24, 48), jnp.float32)
-    k1 = jnp.asarray(rng.randn(3, 3, 32, 48) * 0.2, jnp.float32)
-    k2 = jnp.asarray(rng.randn(3, 3, 48, 48) * 0.2, jnp.float32)
-    want = _reference_block(x, k1, k2, skip)
-    got = _block_impl_wrapped(x, k1, k2, skip, True)
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32),
-        rtol=2e-5, atol=2e-5)
-
-
-def test_conv_in_relu_fused_matches_reference(rng):
-    from unimatch_tpu.kernels.conv_in_fused import _cir_impl, _reference_cir
-
-    x = jnp.asarray(rng.randn(2, 21, 40, 48), jnp.float32)
-    k = jnp.asarray(rng.randn(3, 3, 48, 64) * 0.2, jnp.float32)
-    want = _reference_cir(x, k)
-    got = _cir_impl(x, k, True)
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32),
-        rtol=2e-5, atol=2e-5)
-
-
-def test_residual_block_module_fused_dispatch(rng, monkeypatch):
-    """UNIMATCH_FUSE_BB2 dispatch: identical param tree, CPU falls back to
-    the reference twin, values match the unfused module."""
-    from unimatch_tpu.models.backbone import ResidualBlock
-
-    x = jnp.asarray(rng.randn(1, 20, 32, 64), jnp.float32)
-    blk = ResidualBlock(64)
-    blk_ch = ResidualBlock(96)  # stride-1 with channel change: downsample
-
-    monkeypatch.setenv("UNIMATCH_FUSE_BB2", "0")
-    p0 = blk.init(jax.random.PRNGKey(0), x)
-    want = blk.apply(p0, x)
-    p0c = blk_ch.init(jax.random.PRNGKey(0), x)
-    want_c = blk_ch.apply(p0c, x)
-
-    monkeypatch.setenv("UNIMATCH_FUSE_BB2", "1")
-    xb = x.astype(jnp.bfloat16)
-    p1 = blk.init(jax.random.PRNGKey(0), xb)
-    assert jax.tree.structure(p0) == jax.tree.structure(p1)
-    got = blk.apply(p1, xb)
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32),
-        rtol=0.1, atol=0.05)  # bf16 input vs f32 reference
-    p1c = blk_ch.init(jax.random.PRNGKey(0), xb)
-    assert jax.tree.structure(p0c) == jax.tree.structure(p1c)
-    got_c = blk_ch.apply(p1c, xb)
-    np.testing.assert_allclose(
-        np.asarray(got_c, np.float32), np.asarray(want_c, np.float32),
-        rtol=0.1, atol=0.05)

@@ -141,154 +141,12 @@ def _local_corr_flow_impl(f0, f1, ry, rx=None, t=8, wc=128, interpret=False):
     return jnp.stack([fx[:, :h, :w], fy[:, :h, :w]], axis=-1)
 
 
-def _prop_kernel(q_ref, kb_ref, v_ref, o_ref, *, r: int, t: int, w: int,
-                 scale: float, cf: int):
-    """Local window propagation: softmax(q . k_shifted) expectation over the
-    SHIFTED value (flow) field. No border masking — the reference's
-    F.unfold zero-pads, so out-of-image taps participate with score q.0 = 0
-    and value 0 (attention.py:220-253), which the zero-padded key band /
-    zero-filled shifted value maps reproduce exactly.
-
-    The values arrive as (2r+1)^2 * cf pre-shifted [T, WC] planes on a
-    LEADING axis (v_ref[0] is [k*k*cf, T, WC]), and columns are sub-blocked
-    at WC <= 128: bisection (docs/PERF_NOTES.md round-4i) showed the Mosaic
-    compile helper crashes (HTTP 500, exit 1, no diagnostic) on ANY
-    p * loaded-value vector product inside the unrolled tap loop once the
-    lane width exceeds 128 — the same product compiles fine at 128 lanes,
-    which is also the proven _kernel/_local_corr_flow_impl envelope. The
-    shifted maps are cheap: flow is [H, W, 2] (~150 KB), vs the
-    [H, W, k*k, C] key patches (~132 MB at the flagship s1 shape) this
-    kernel exists to avoid."""
-    q = q_ref[0].astype(jnp.float32)  # [T, WC, C]
-    kb = kb_ref[0, 0, 0]  # [T+2r, WCpad, C]
-    v = v_ref[0]  # [k*k*cf, T, WC]
-    k = 2 * r + 1
-
-    m = jnp.full((t, w), -jnp.inf, jnp.float32)
-    s = jnp.zeros((t, w), jnp.float32)
-    acc = [jnp.zeros((t, w), jnp.float32) for _ in range(cf)]
-    for dy in range(k):
-        for dx in range(k):
-            ks = kb[dy : dy + t, dx : dx + w, :].astype(jnp.float32)
-            ck = jnp.sum(q * ks, axis=-1) * scale  # [T, W]
-            mn = jnp.maximum(m, ck)
-            rescale = jnp.exp(m - mn)
-            p = jnp.exp(ck - mn)
-            s = s * rescale + p
-            for f in range(cf):
-                vs = v[(dy * k + dx) * cf + f].astype(jnp.float32)  # [T, W]
-                acc[f] = acc[f] * rescale + p * vs
-            m = mn
-    for f in range(cf):
-        o_ref[f, 0] = acc[f] / s
-
-
-@functools.partial(jax.jit, static_argnames=("local_radius", "t", "wc", "interpret"))
-def _local_prop_impl(query, key, value, local_radius, t=8, wc=128, interpret=False):
-    b, h, w, c = query.shape
-    cf = value.shape[-1]
-    r = local_radius
-    k = 2 * r + 1
-    hp = -(-h // t) * t
-    nb = hp // t
-    # column sub-blocks (see kernel docstring: >128-lane value products
-    # crash the Mosaic compile helper)
-    wc = min(wc, -(-w // 8) * 8)
-    wp = -(-w // wc) * wc
-    ncol = wp // wc
-    wcb = -(-(wc + 2 * r) // 8) * 8
-
-    qp = jnp.pad(query, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    kp = jnp.pad(key, ((0, 0), (r, hp - h + r), (r, wcb + wp - w - r), (0, 0)))
-    kb = jnp.stack(
-        [
-            jnp.stack(
-                [kp[:, i * t : i * t + t + 2 * r, j * wc : j * wc + wcb]
-                 for j in range(ncol)],
-                axis=1,
-            )
-            for i in range(nb)
-        ],
-        axis=1,
-    )  # [B, nb, ncol, T+2r, wcb, C]
-    # (k*k*cf) pre-shifted value planes, zero-filled at the borders:
-    # plane (dy*k+dx)*cf + f at (y, x) = value[y + dy - r, x + dx - r, f]
-    vp = jnp.pad(value, ((0, 0), (r, hp - h + r), (r, r + wp - w), (0, 0)))
-    vshift = jnp.stack(
-        [
-            vp[:, dy : dy + hp, dx : dx + wp, f]
-            for dy in range(k)
-            for dx in range(k)
-            for f in range(cf)
-        ],
-        axis=1,
-    )  # [B, k*k*cf, hp, wp]
-
-    scale = 1.0 / (c**0.5)
-    out = pl.pallas_call(
-        functools.partial(_prop_kernel, r=r, t=t, w=wc, scale=scale, cf=cf),
-        grid=(b, nb, ncol),
-        in_specs=[
-            pl.BlockSpec((1, t, wc, c), lambda i, j, n: (i, j, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, t + 2 * r, wcb, c),
-                         lambda i, j, n: (i, j, n, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * k * cf, t, wc), lambda i, j, n: (i, 0, j, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cf, 1, t, wc), lambda i, j, n: (0, i, j, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cf, b, hp, wp), jnp.float32),
-        interpret=interpret,
-    )(qp, kb, vshift)
-    return jnp.moveaxis(out[:, :, :h, :w], 0, -1)  # [B, H, W, Cf]
-
-
-def _reference_prop(query, key, value, local_radius):
-    """jnp twin: the local branch of SelfAttnPropagation (zero-pad unfold)."""
-    from unimatch_tpu.ops.upsample import extract_patches
-
-    c = query.shape[-1]
-    k = 2 * local_radius + 1
-    key_patches = extract_patches(key, k, local_radius)
-    val_patches = extract_patches(value, k, local_radius)
-    scores = jnp.einsum(
-        "bhwnc,bhwc->bhwn", key_patches, query, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(c))
-    prob = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhwn,bhwnf->bhwf", prob,
-                      val_patches.astype(jnp.float32))
-
-
-@functools.lru_cache(maxsize=None)
-def _prop_with_vjp(local_radius: int):
-    @jax.custom_vjp
-    def f(q, k, v):
-        return _local_prop_impl(q, k, v, local_radius)
-
-    def fwd(q, k, v):
-        return f(q, k, v), (q, k, v)
-
-    def bwd(res, g):
-        _, vjp = jax.vjp(lambda a, b_, c_: _reference_prop(a, b_, c_, local_radius), *res)
-        return vjp(g)
-
-    f.defvjp(fwd, bwd)
-    return f
-
-
-def local_window_propagation(query: jnp.ndarray, key: jnp.ndarray,
-                             value: jnp.ndarray, local_radius: int,
-                             interpret: bool = False) -> jnp.ndarray:
-    """Local self-attention propagation: [B, H, W, C] q/k, [B, H, W, Cf]
-    value -> [B, H, W, Cf] f32 (cast by the caller). Same values as the
-    extract_patches form up to f32 summation order."""
-    if interpret:
-        return _local_prop_impl(query, key, value, local_radius, interpret=True)
-    if jax.default_backend() == "cpu":
-        return _reference_prop(query, key, value, local_radius)
-    return _prop_with_vjp(local_radius)(query, key, value)
+# A streaming local-window-propagation kernel (softmax-expectation over the
+# (2r+1)^2 window with pre-shifted value planes) lived here through rounds
+# 4-5. On chip it was numerically wrong (718 abs error at flagship shapes;
+# the interpret-mode test passed) with no speed win once the round-5 combo
+# landed (docs/PERF_NOTES.md round-5d) — deleted, the extract_patches XLA
+# form in models/propagation.py is the kept implementation.
 
 
 def _reference_flow(f0, f1, local_radius):

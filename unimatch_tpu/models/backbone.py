@@ -35,30 +35,6 @@ def _fused_in() -> bool:
     return os.environ.get("UNIMATCH_FUSE_IN", "0") != "0"
 
 
-def _fuse_conv() -> bool:
-    """Dispatch stride-1 K>1 backbone convolutions to the banded fused conv
-    kernel (kernels/conv_banded.py). Default OFF: the on-chip interleaved
-    A/B (round 3) measured the banded form 15.3 vs 10.5 ms for the full
-    backbone — at the big stage-1 maps the XLA form's fusion with the
-    surrounding IN/relu wins, unlike the refine path's 112x256 shapes where
-    the banded kernel wins (UNIMATCH_FUSE_CONV there). UNIMATCH_FUSE_BB_CONV=1
-    re-enables for measurement."""
-    return os.environ.get("UNIMATCH_FUSE_BB_CONV", "0") != "0"
-
-
-def _fuse_bb2() -> bool:
-    """Round-5 fused residual-block path (kernels/conv_in_fused.py): both
-    3x3 convs tap-accumulate in VMEM, the IN + relu between them runs as the
-    second kernel's prologue, and IN statistics come out of the kernels as
-    per-band moments combined exactly in XLA — removing the f32 tap-partial
-    round-trips AND two of each norm's three full-map passes that the
-    round-3 conv_banded attempt left behind (its loss was the broken
-    conv+IN+relu producer fusion, docs/PERF_NOTES.md). Default OFF until the
-    in-situ A/B lands (the round-3 lesson: isolated wins must confirm in
-    situ before a default flips); UNIMATCH_FUSE_BB2=1 enables."""
-    return os.environ.get("UNIMATCH_FUSE_BB2", "0") != "0"
-
-
 def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
              use_bias=False, act=None, name=None):
     """conv -> instance norm -> act, fused when enabled (dilation 1 only —
@@ -67,7 +43,7 @@ def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
         return conv2d(planes, kernel, stride=stride, padding=padding,
                       use_bias=use_bias, norm="instance", act=act, name=name)(x)
     y = conv2d(planes, kernel, stride=stride, padding=padding, dilation=dilation,
-               use_bias=use_bias, fuse=_fuse_conv(), name=name)(x)
+               use_bias=use_bias, name=name)(x)
     y = instance_norm(y)
     return jax.nn.relu(y) if act == "relu" else y
 
@@ -76,60 +52,23 @@ class ResidualBlock(nn.Module):
     """conv3x3 -> IN -> relu -> conv3x3 -> IN -> relu, additive skip.
 
     Reference semantics: backbone.py:6-36 (norms have no affine params).
+
+    Two fused Pallas forms of this block were built and measured-negative on
+    chip (round 3 conv_banded: 15.3 vs 10.5 ms full backbone; round 5
+    conv_in_fused: 15.3 vs 11.4 flagship, 9.2 vs 6.0 depth — the norm
+    statistics side-outputs break the grid pipeline's overlap). Both deleted;
+    docs/PERF_NOTES.md keeps the records.
     """
 
     planes: int
     stride: int = 1
     dilation: int = 1
 
-    def _fused_stride1(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Fully fused stride-1 block (kernels/conv_in_fused.py) with the
-        identical param tree (scope access, reg_refine.py pattern)."""
-        from unimatch_tpu.kernels.conv_in_fused import residual_block_fused
-
-        cin = x.shape[-1]
-        k1 = self.scope.push("conv1").param(
-            "kernel", conv_kaiming_init, (3, 3, cin, self.planes))
-        k2 = self.scope.push("conv2").param(
-            "kernel", conv_kaiming_init, (3, 3, self.planes, self.planes))
-        skip = x
-        if cin != self.planes:
-            skip = _conv_in(x, self.planes, kernel=1, stride=1, padding=0,
-                            use_bias=True, name="downsample")
-        return residual_block_fused(x, k1, k2, skip)
-
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_planes = x.shape[-1]
-        if (
-            _fuse_bb2() and self.stride == 1 and self.dilation == 1
-            and x.dtype == jnp.bfloat16 and not _fused_in()
-        ):
-            from unimatch_tpu.kernels import use_pallas
-
-            if use_pallas():
-                return self._fused_stride1(x)
-
         y = _conv_in(x, self.planes, stride=self.stride, padding=self.dilation,
                      dilation=self.dilation, act="relu", name="conv1")
-        if (
-            _fuse_bb2() and self.dilation == 1 and y.dtype == jnp.bfloat16
-            and not _fused_in()
-        ):
-            from unimatch_tpu.kernels import use_pallas
-
-            if use_pallas():
-                # strided block: conv1 stays XLA (space-to-depth stride),
-                # conv2 fuses its taps + IN + relu
-                from unimatch_tpu.kernels.conv_in_fused import conv_in_relu_fused
-
-                k2 = self.scope.push("conv2").param(
-                    "kernel", conv_kaiming_init, (3, 3, self.planes, self.planes))
-                y = conv_in_relu_fused(y, k2)
-                if self.stride != 1 or in_planes != self.planes:
-                    x = _conv_in(x, self.planes, kernel=1, stride=self.stride,
-                                 padding=0, use_bias=True, name="downsample")
-                return jax.nn.relu(x + y)
         y = _conv_in(y, self.planes, padding=self.dilation,
                      dilation=self.dilation, act="relu", name="conv2")
 

@@ -219,9 +219,10 @@ class Conv2d(nn.Module):
     so the torch checkpoint converter is unaffected. The computation lowers
     to shifted matmuls when the channel count would under-utilize the MXU
     under lax.conv (see conv_via_matmul); wide-channel convs and dilated
-    convs use lax.conv directly. With fuse=True (stride-1 'same' convs on the
-    hot path), the conv + bias + activation run as one Pallas kernel with the
-    tap accumulator in VMEM (kernels/conv_banded.py).
+    convs use lax.conv directly. (A banded Pallas conv kernel lived behind
+    fuse=True through rounds 3-4; it tied-to-lost in situ — pallas_call is
+    a fusion barrier and XLA fuses these convs with surrounding ops — and
+    was deleted in round 5. docs/PERF_NOTES.md keeps the record.)
     """
 
     features: int
@@ -233,33 +234,12 @@ class Conv2d(nn.Module):
     kernel_init: Any = conv_kaiming_init
     act: Any = None  # None | 'relu' | 'sigmoid' | 'tanh', applied after bias+norm
     norm: Any = None  # None | 'instance', applied after bias, before act
-    fuse: bool = False  # dispatch to the fused Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
-
-        same_pad = self.padding == ((kh - 1) // 2, (kw - 1) // 2)
-        # Banded fused conv (kernels/conv_banded.py): stride-1 'same' K>1
-        # convs with the tap accumulator in VMEM; cin >= 8 (narrower inputs
-        # lane-pad pathologically and stay on the XLA form).
-        if (
-            self.fuse and self.norm is None and self.stride == (1, 1)
-            and self.dilation == 1 and same_pad and kh * kw > 1 and cin >= 8
-        ):
-            from unimatch_tpu.kernels import use_pallas
-
-            if use_pallas():
-                from unimatch_tpu.kernels.conv_banded import banded_conv2d
-
-                bias = (
-                    self.param("bias", nn.initializers.zeros, (self.features,))
-                    if self.use_bias
-                    else None
-                )
-                return banded_conv2d(x, kernel.astype(x.dtype), bias, act=self.act)
 
         kernel = kernel.astype(x.dtype)
         # Fused conv+IN(+act): the matmul path hands back its raw f32
@@ -303,7 +283,6 @@ def conv2d(
     kernel_init=conv_kaiming_init,
     act=None,
     norm=None,
-    fuse: bool = False,
     name: str | None = None,
 ) -> Conv2d:
     if isinstance(kernel, int):
@@ -322,7 +301,6 @@ def conv2d(
         kernel_init=kernel_init,
         act=act,
         norm=norm,
-        fuse=fuse,
         name=name,
     )
 
@@ -350,29 +328,12 @@ class Conv2dMulti(nn.Module):
     use_bias: bool = True
     kernel_init: Any = conv_kaiming_init
     act: Any = None
-    fuse: bool = False
 
     @nn.compact
     def __call__(self, parts) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cins = [p.shape[-1] for p in parts]
         kernel = self.param("kernel", self.kernel_init, (kh, kw, sum(cins), self.features))
-
-        if self.fuse and self.padding == ((kh - 1) // 2, (kw - 1) // 2) and kh * kw > 1:
-            from unimatch_tpu.kernels import use_pallas
-
-            if use_pallas():
-                from unimatch_tpu.kernels.conv_banded import banded_conv2d
-
-                bias = (
-                    self.param("bias", nn.initializers.zeros, (self.features,))
-                    if self.use_bias
-                    else None
-                )
-                # one cheap concat beats the per-part form here: the banded
-                # kernel reads the concat once, vs K xla tap partials per part
-                xcat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-                return banded_conv2d(xcat, kernel.astype(xcat.dtype), bias, act=self.act)
 
         kernel = kernel.astype(parts[0].dtype)
         acc = None
@@ -387,10 +348,10 @@ class Conv2dMulti(nn.Module):
         return _ACT_FNS[self.act](acc)
 
 
-def conv2d_multi(features, kernel, padding=0, use_bias=True, act=None, fuse=False, name=None):
+def conv2d_multi(features, kernel, padding=0, use_bias=True, act=None, name=None):
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     if isinstance(padding, int):
         padding = (padding, padding)
     return Conv2dMulti(features=features, kernel_size=kernel, padding=padding,
-                       use_bias=use_bias, act=act, fuse=fuse, name=name)
+                       use_bias=use_bias, act=act, name=name)

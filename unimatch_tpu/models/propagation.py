@@ -41,23 +41,9 @@ class SelfAttnPropagation(nn.Module):
             query = q_proj(feature0)  # [B, H, W, C]
             key_map = k_proj(feature0)  # NOTE: k_proj on raw feature here (reference :232)
 
-            import os
-
-            if os.environ.get("UNIMATCH_FUSE_LOCAL_PROP", "0") != "0":
-                from unimatch_tpu.kernels import use_pallas
-
-                if use_pallas():
-                    # streaming softmax-expectation over the window offsets
-                    # (kernels/local_corr.py): the extract_patches
-                    # [B, H, W, k*k, C] tensors (~132 MB at flagship s1)
-                    # never exist in HBM
-                    from unimatch_tpu.kernels.local_corr import local_window_propagation
-
-                    out = local_window_propagation(
-                        query, key_map, flow, local_window_radius
-                    )
-                    return out.astype(flow.dtype)
-
+            # A streaming Pallas form of this window attention existed in
+            # rounds 4-5; on chip it was numerically wrong (718 abs error)
+            # with no speed win (docs/PERF_NOTES.md round-5d) — deleted.
             key_patches = extract_patches(key_map, k, local_window_radius)  # [B,H,W,k*k,C]
             flow_patches = extract_patches(flow, k, local_window_radius)  # [B,H,W,k*k,Cf]
 

@@ -36,22 +36,6 @@ from unimatch_tpu.models.layers import (
 )
 
 
-def _fuse_conv() -> bool:
-    """Dispatch the refine-path K>1 convolutions (motion encoder, flow/mask
-    heads) to the banded fused conv kernel (kernels/conv_banded.py — the
-    BlockSpec-pipelined successor to the rejected manual-DMA conv_fused
-    kernel, whose halo-tile DMA serialized with compute and lost ~1.7x).
-    Default OFF — a genuinely two-sided result (round 3,
-    docs/PERF_NOTES.md): in the *isolated* update block x6 the banded
-    kernel wins 19.1 vs 23.8 ms (fused GRU in both arms), but in the *full
-    flagship forward* it ties-to-loses (70.9-72.1 vs 69.7-70.7 ms over 3
-    interleaved reps) — pallas_call is a fusion barrier, and in the full
-    graph XLA fuses these convs with the surrounding lookup/elementwise
-    ops. The 7x7 cin=2 convf1 is excluded by Conv2d's cin >= 8 gate either
-    way. UNIMATCH_FUSE_CONV=1 re-enables for measurement."""
-    return os.environ.get("UNIMATCH_FUSE_CONV", "0") != "0"
-
-
 def _fuse_gru() -> bool:
     """Dispatch each SepConvGRU direction pass to the fused Pallas kernel
     (kernels/gru_fused.py — convs + gates in one VMEM-resident pass with
@@ -63,53 +47,16 @@ def _fuse_gru() -> bool:
     return os.environ.get("UNIMATCH_FUSE_GRU", "1") != "0"
 
 
-def _fuse_head() -> bool:
-    """Dispatch the two-conv heads (FlowHead, upsample-mask head) to the
-    fused Pallas kernel (kernels/head_fused.py): the [*, 256] hidden stays
-    in VMEM and the narrow output writes once in bf16, vs two full sets of
-    f32 tap partials on the XLA path — with the 1-2-channel output's
-    partials lane-padding 2 -> 128 (~64x the logical traffic).
-    UNIMATCH_FUSE_HEAD=0 re-traces the XLA form for A/B."""
-    return os.environ.get("UNIMATCH_FUSE_HEAD", "0") != "0"
-
-
-def _fused_two_conv(scope, x, names, shapes, act1="relu"):
-    """Run the named 2-conv chain through the fused head kernel with the
-    identical param tree; returns None when the kernel doesn't apply."""
-    if not (_fuse_head() and x.dtype == jnp.bfloat16 and x.shape[2] % 8 == 0):
-        return None
-    from unimatch_tpu.kernels import use_pallas
-
-    if not use_pallas():
-        return None
-    from unimatch_tpu.kernels.head_fused import fused_head
-
-    ps = []
-    for name, shape in zip(names, shapes):
-        sc = scope.push(name)
-        ps.append(sc.param("kernel", conv_kaiming_init, shape))
-        ps.append(sc.param("bias", nn.initializers.zeros, (shape[-1],)))
-    k1, b1, k2, b2 = ps
-    return fused_head(x, k1, b1, k2, b2, act1=act1)
-
-
 class FlowHead(nn.Module):
     hidden_dim: int = 256
     out_dim: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = _fused_two_conv(
-            self.scope, x, ("conv1", "conv2"),
-            ((3, 3, x.shape[-1], self.hidden_dim),
-             (3, 3, self.hidden_dim, self.out_dim)),
-        )
-        if out is not None:
-            return out
-        y = conv2d(self.hidden_dim, 3, padding=1, act="relu", fuse=_fuse_conv(),
-                   name="conv1")(x)
-        # out_dim is 1-2: a 2-lane output block lane-pads on the XLA path
-        # too, which is what the fused head kernel above avoids
+        # A fused Pallas form of this 2-conv head (kernels/head_fused.py)
+        # measured a tie in situ (rounds 4-5, docs/PERF_NOTES.md) — deleted;
+        # XLA's in-graph fusion of the head convs is already sufficient.
+        y = conv2d(self.hidden_dim, 3, padding=1, act="relu", name="conv1")(x)
         return conv2d(self.out_dim, 3, padding=1, name="conv2")(y)
 
 
@@ -230,29 +177,14 @@ class BasicMotionEncoder(nn.Module):
             if use_pallas():
                 return self._fused(flow, corr)
 
-        fuse = _fuse_conv()
-        # convf1 (7x7 on the 2-channel flow) is excluded by Conv2d's
-        # cin >= 8 gate: sub-lane-width inputs pad 2 -> 128 lanes in VMEM
-        # and the old fused kernel failed Mosaic compilation at that shape
         cor = conv2d(256, 1, act="relu", name="convc1")(corr)
-        cor = conv2d(192, 3, padding=1, act="relu", fuse=fuse, name="convc2")(cor)
-        flo = conv2d(128, 7, padding=3, act="relu", fuse=fuse, name="convf1")(flow)
-        flo = conv2d(64, 3, padding=1, act="relu", fuse=fuse, name="convf2")(flo)
+        cor = conv2d(192, 3, padding=1, act="relu", name="convc2")(cor)
+        flo = conv2d(128, 7, padding=3, act="relu", name="convf1")(flow)
+        flo = conv2d(64, 3, padding=1, act="relu", name="convf2")(flo)
         out = conv2d_multi(
-            128 - self.flow_channels, 3, padding=1, act="relu", fuse=fuse, name="conv"
+            128 - self.flow_channels, 3, padding=1, act="relu", name="conv"
         )([cor, flo])
         return [out, flow]  # virtual concat, 128 channels
-
-
-def _fuse_update() -> bool:
-    """Dispatch the WHOLE update step (motion encoder + both SepConvGRU
-    passes + FlowHead) to the fused path (kernels/update_fused.py:
-    motion+GRU-h kernel, GRU-v kernel, fused head) instead of four separate
-    kernel/XLA pieces — the per-iteration kernel boundaries and their HBM
-    round-trips are the bulk of the update net's ~19 ms in-situ cost
-    (docs/PERF_NOTES.md). UNIMATCH_FUSE_UPDATE=0 falls back to the
-    per-piece kernels for A/B."""
-    return os.environ.get("UNIMATCH_FUSE_UPDATE", "0") != "0"
 
 
 class BasicUpdateBlock(nn.Module):
@@ -270,12 +202,6 @@ class BasicUpdateBlock(nn.Module):
         param access (not submodules): nn.compact allows one compact method,
         and the param tree must match the __call__ path byte-for-byte."""
         mask_dim = self.downsample_factor**2 * 9
-        out = _fused_two_conv(
-            self.scope, net, ("mask_0", "mask_2"),
-            ((3, 3, net.shape[-1], 256), (1, 1, 256, mask_dim)),
-        )
-        if out is not None:
-            return out
         dt = net.dtype
         sc0 = self.scope.push("mask_0")
         k1 = sc0.param("kernel", conv_kaiming_init, (3, 3, net.shape[-1], 256))
@@ -288,73 +214,17 @@ class BasicUpdateBlock(nn.Module):
         b2 = sc2.param("bias", nn.initializers.zeros, (mask_dim,))
         return conv_via_matmul(y, k2.astype(dt), (1, 1), (0, 0)) + b2.astype(dt)
 
-    def _fused_update(self, net, inp, corr, flow):
-        """Whole-step fused path (kernels/update_fused.py) with the
-        identical param tree to the per-module path below."""
-        from unimatch_tpu.kernels.update_fused import fused_update
-
-        fd = self.flow_dim
-        hd = self.hidden_dim
-        ck = corr.shape[-1]
-
-        enc_sc = self.scope.push("encoder")
-        gru_sc = self.scope.push("gru")
-        head_sc = self.scope.push("flow_head")
-
-        def p(parent, name, shape):
-            sc = parent.push(name)
-            k = sc.param("kernel", conv_kaiming_init, shape)
-            b = sc.param("bias", nn.initializers.zeros, (shape[-1],))
-            return k, b
-
-        wc1, bc1 = p(enc_sc, "convc1", (1, 1, ck, 256))
-        wf1, bf1 = p(enc_sc, "convf1", (7, 7, fd, 128))
-        wc2, bc2 = p(enc_sc, "convc2", (3, 3, 256, 192))
-        wf2, bf2 = p(enc_sc, "convf2", (3, 3, 128, 64))
-        wm, bm = p(enc_sc, "conv", (3, 3, 256, 128 - fd))
-
-        gs = []
-        for suffix, ksz in (("1", (1, 5)), ("2", (5, 1))):
-            # cin = hd (h-side) + 2*hd (the [inp|motion|flow] x concat)
-            ps = [
-                p(gru_sc, "conv" + g + suffix, (*ksz, 3 * hd, hd))
-                for g in ("z", "r", "q")
-            ]
-            (kz, bz), (kr, br), (kq, bq) = ps
-            kx = jnp.concatenate([kz[:, :, hd:], kr[:, :, hd:], kq[:, :, hd:]], -1)
-            khzr = jnp.concatenate([kz[:, :, :hd], kr[:, :, :hd]], -1)
-            gs.append((kx, khzr, kq[:, :, :hd, :], jnp.stack([bz, br, bq])))
-
-        hk1, hb1 = p(head_sc, "conv1", (3, 3, hd, 256))
-        hk2, hb2 = p(head_sc, "conv2", (3, 3, 256, fd))
-
-        return fused_update(
-            net, inp, corr, flow,
-            (wc1, wc2, wf1, wf2, wm), (bc1, bf1, bc2, bf2, bm),
-            gs[0], gs[1], hk1, hb1, hk2, hb2,
-        )
-
     @nn.compact
     def __call__(
         self, net: jnp.ndarray, inp: jnp.ndarray, corr: jnp.ndarray, flow: jnp.ndarray,
         with_mask: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
-        if (
-            not with_mask
-            and _fuse_update()
-            and corr.dtype == jnp.bfloat16
-            and self.hidden_dim == 128
-            and inp.shape[-1] == 128
-            and corr.shape[-1] <= 128
-            and self.flow_dim <= 2
-            and not self.is_initializing()
-        ):
-            from unimatch_tpu.kernels import use_pallas
-
-            if use_pallas():
-                net2, delta = self._fused_update(net, inp, corr, flow)
-                return net2, None, delta
-
+        # A whole-step fused path (kernels/update_fused.py: motion+GRU-h /
+        # GRU-v / fused-head kernels) was built in round 4 and LOST ~1.5 ms
+        # in situ to this per-piece chain — the wider banded inputs cost HBM
+        # re-reads (docs/PERF_NOTES.md round-4g). Deleted in round 5; the
+        # per-piece chain (fused motion + fused GRU h/v + XLA head with the
+        # mask hoist) is the measured optimum.
         motion_parts = BasicMotionEncoder(flow_channels=self.flow_dim, name="encoder")(flow, corr)
         net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, [inp] + motion_parts)
         delta = FlowHead(hidden_dim=256, out_dim=self.flow_dim, name="flow_head")(net)

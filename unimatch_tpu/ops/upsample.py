@@ -38,20 +38,11 @@ def upsample_with_mask(
     '9' slowest — the layout produced by a conv head whose torch channel dim
     was 9*K*K). Returns [B, K*H, K*W, C_f]. Reference utils.py:134-152.
 
-    UNIMATCH_FUSE_UPSAMPLE dispatches the banded Pallas kernel
-    (kernels/upsample_fused.py): softmax + convex combination in VMEM
-    instead of the ~66 MB f32 mask-softmax round trip.
+    A banded Pallas form of this op (softmax + convex combination in VMEM)
+    was built and measured in rounds 4-5: no reliable in-situ win once the
+    round-5 combo removed the surrounding traffic (docs/PERF_NOTES.md
+    round-5d) — deleted, XLA's fusion of this form is sufficient.
     """
-    import os
-
-    if os.environ.get("UNIMATCH_FUSE_UPSAMPLE", "0") != "0":
-        from unimatch_tpu.kernels import use_pallas
-
-        if use_pallas():
-            from unimatch_tpu.kernels.upsample_fused import upsample_with_mask_fused
-
-            return upsample_with_mask_fused(flow, mask, upsample_factor, is_depth)
-
     b, h, w, cf = flow.shape
     k = upsample_factor
     m = mask.reshape(b, h, w, 9, k, k)
