@@ -429,3 +429,34 @@ def test_corr_volume_lookup_narrow_matches_reference(rng, monkeypatch):
     want = _lookup_reference(g, sc, k, 0.125, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
 
+
+
+def test_space_to_depth_slice_form_matches(rng, monkeypatch):
+    """UNIMATCH_S2D_SLICE (strided slices + concat) == reshape+transpose."""
+    from unimatch_tpu.models.layers import _space_to_depth
+
+    for shape, s in (((2, 8, 12, 3), 2), ((1, 12, 8, 5), 4)):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        monkeypatch.delenv("UNIMATCH_S2D_SLICE", raising=False)
+        want = _space_to_depth(x, s)
+        monkeypatch.setenv("UNIMATCH_S2D_SLICE", "1")
+        got = _space_to_depth(x, s)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_backbone_lax_conv_levers_match(rng, monkeypatch):
+    """UNIMATCH_BB_LAX / UNIMATCH_STEM_LAX (lax.conv lowering for prefer_lax
+    convs) match the shifted-matmul form on the CNNEncoder forward."""
+    from unimatch_tpu.models.backbone import CNNEncoder
+
+    x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32))
+    enc = CNNEncoder(output_dim=128, num_output_scales=1)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    monkeypatch.delenv("UNIMATCH_BB_LAX", raising=False)
+    monkeypatch.delenv("UNIMATCH_STEM_LAX", raising=False)
+    want = np.asarray(enc.apply(params, x)[0], np.float32)
+    monkeypatch.setenv("UNIMATCH_BB_LAX", "1")
+    monkeypatch.setenv("UNIMATCH_STEM_LAX", "1")
+    got = np.asarray(enc.apply(params, x)[0], np.float32)
+    # one f32 accumulation-order difference per conv, then 6 IN layers
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

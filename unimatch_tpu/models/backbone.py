@@ -41,9 +41,10 @@ def _conv_in(x, planes, *, stride=1, kernel=3, padding=1, dilation=1,
     the dilated path runs lax.conv which keeps its own layout)."""
     if _fused_in() and dilation == 1:
         return conv2d(planes, kernel, stride=stride, padding=padding,
-                      use_bias=use_bias, norm="instance", act=act, name=name)(x)
+                      use_bias=use_bias, norm="instance", act=act,
+                      prefer_lax=True, name=name)(x)
     y = conv2d(planes, kernel, stride=stride, padding=padding, dilation=dilation,
-               use_bias=use_bias, name=name)(x)
+               use_bias=use_bias, prefer_lax=True, name=name)(x)
     y = instance_norm(y)
     return jax.nn.relu(y) if act == "relu" else y
 

@@ -86,10 +86,40 @@ def _bf16_partials(x: jnp.ndarray, out_dtype) -> bool:
 
 
 def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c)."""
+    """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c).
+
+    Two forms (UNIMATCH_S2D_SLICE A/B): the reshape+transpose pair forces a
+    6-D intermediate whose two minor dims are (s, c) — for the 3-channel
+    stem image the resulting {.., s, c}-minor layout lane-pads 3 -> 128 and
+    the pair materializes ~725 MB physical for an 8 MB logical tensor
+    (1.6 ms/forward, round-5e profile: reshape.210 + copy.2192). The
+    strided-slice + channel-concat form computes the same values while
+    leaving XLA free to keep a W-minor layout for narrow-C tensors.
+    """
     b, h, w, c = x.shape
+    if os.environ.get("UNIMATCH_S2D_SLICE", "0") != "0":
+        return jnp.concatenate(
+            [x[:, dy::s, dx::s, :] for dy in range(s) for dx in range(s)],
+            axis=-1,
+        )
     x = x.reshape(b, h // s, s, w // s, s, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
+
+
+def _bb_lax() -> bool:
+    """A/B lever (UNIMATCH_BB_LAX): lower the backbone's stride-1 cin>=64
+    convolutions with lax.conv_general_dilated instead of shifted matmuls.
+
+    Motivated by the round-5e profile: (a) the trident conv, which already
+    runs through lax.conv, sustains ~0.3 ms at [2, 112, 256, 128] — the
+    round-1 "lax.conv is 10-25x off peak" pathology is gone at wide
+    channels on the current libtpu; (b) the shifted-matmul form's K f32
+    tap-partial accumulator chain is most of the backbone's ~5 ms of conv
+    time (each layer1 partial is a 58.7 MB f32 [2, 224, 512, 64] tensor).
+    lax.conv is one HLO op with VMEM-internal accumulation — zero partial
+    traffic. Scoped to the backbone so the refine path (motion/GRU Pallas
+    kernels + measured-tie head convs) is unaffected."""
+    return os.environ.get("UNIMATCH_BB_LAX", "0") != "0"
 
 
 def conv_via_matmul(
@@ -234,6 +264,7 @@ class Conv2d(nn.Module):
     kernel_init: Any = conv_kaiming_init
     act: Any = None  # None | 'relu' | 'sigmoid' | 'tanh', applied after bias+norm
     norm: Any = None  # None | 'instance', applied after bias, before act
+    prefer_lax: bool = False  # with UNIMATCH_BB_LAX: lax.conv for wide stride-1 convs
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -249,7 +280,26 @@ class Conv2d(nn.Module):
         fuse_norm = self.norm == "instance" and self.dilation == 1
         # lax.conv is erratically slow on this TPU runtime at every channel
         # width we measured (up to 25x off peak); shifted matmuls are reliable
-        if self.dilation == 1:
+        # UNIMATCH_STEM_LAX: the 7x7/2 stem conv via lax.conv — skips the
+        # space-to-depth transform entirely (whose reshape+transpose pair
+        # costs 1.6 ms/forward at the flagship shape, round-5e profile).
+        stem_lax = (
+            self.prefer_lax and cin <= 4 and self.dilation == 1
+            and os.environ.get("UNIMATCH_STEM_LAX", "0") != "0"
+        )
+        if stem_lax or (
+            self.prefer_lax and _bb_lax() and self.dilation == 1
+            and self.stride == (1, 1) and cin >= 64 and kh * kw > 1
+        ):
+            y = jax.lax.conv_general_dilated(
+                x, kernel,
+                window_strides=self.stride,
+                padding=[(self.padding[0], self.padding[0]),
+                         (self.padding[1], self.padding[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32 if fuse_norm else x.dtype)
+        elif self.dilation == 1:
             y = conv_via_matmul(
                 x, kernel, self.stride, self.padding,
                 out_dtype=jnp.float32 if fuse_norm else None,
@@ -283,6 +333,7 @@ def conv2d(
     kernel_init=conv_kaiming_init,
     act=None,
     norm=None,
+    prefer_lax: bool = False,
     name: str | None = None,
 ) -> Conv2d:
     if isinstance(kernel, int):
@@ -301,6 +352,7 @@ def conv2d(
         kernel_init=kernel_init,
         act=act,
         norm=norm,
+        prefer_lax=prefer_lax,
         name=name,
     )
 
