@@ -369,6 +369,15 @@ class UniMatch(nn.Module):
                     if use_scan:
                         refine_def = self.refine.clone(parent=None)
                         refine_vars = {"params": self.variables["params"]["refine"]}
+                        # stacked per-iteration outputs are consumed only by
+                        # training deep supervision and the parity sow below;
+                        # a plain inference apply carries (flow, net) alone —
+                        # the [n_iter, B, H, W, 2] stacks are lane-padded
+                        # (2 -> 128) on TPU, ~176 MB of physical
+                        # dynamic-update writes per flagship forward
+                        expose_iters = training or self.is_mutable_collection(
+                            "intermediates"
+                        )
 
                         def _scan_body(carry, _):
                             f, _net_prev = carry
@@ -391,7 +400,12 @@ class UniMatch(nn.Module):
                             f = f + residual_
                             if task == "stereo":
                                 f = jnp.maximum(f, 0.0)
-                            ys = (f, mask_, residual_) if training else (f, residual_)
+                            if training:
+                                ys = (f, mask_, residual_)
+                            elif expose_iters:
+                                ys = (f, residual_)
+                            else:
+                                ys = None
                             return (f, net_), ys
 
                         (flow, net_last), scan_ys = jax.lax.scan(
@@ -400,13 +414,17 @@ class UniMatch(nn.Module):
                         )
                         if training:
                             iter_flows, iter_masks, iter_residuals = scan_ys
-                        else:
+                        elif expose_iters:
                             iter_flows, iter_residuals = scan_ys
-                        # per-iteration residuals for parity instrumentation:
-                        # the inner refine_def.apply is invisible to the outer
-                        # apply's capture_intermediates, so expose the stacked
-                        # residuals via sow (tests/test_golden_parity.py)
-                        self.sow("intermediates", "refine_residuals", iter_residuals)
+                        if expose_iters:
+                            # per-iteration residuals for parity
+                            # instrumentation: the inner refine_def.apply is
+                            # invisible to the outer apply's
+                            # capture_intermediates, so expose the stacked
+                            # residuals via sow (tests/test_golden_parity.py)
+                            self.sow(
+                                "intermediates", "refine_residuals", iter_residuals
+                            )
                         if training:
                             n_it = infer.num_reg_refine
                             fl = iter_flows.reshape((-1,) + iter_flows.shape[2:])
@@ -421,7 +439,7 @@ class UniMatch(nn.Module):
                         else:
                             flow_preds.append(
                                 upsample_with_mask(
-                                    iter_flows[-1],
+                                    flow,  # the scan carry == iter_flows[-1]
                                     refine_def.apply(
                                         refine_vars, net_last, method="mask_head"
                                     ),
