@@ -460,3 +460,88 @@ def test_backbone_lax_conv_levers_match(rng, monkeypatch):
     got = np.asarray(enc.apply(params, x)[0], np.float32)
     # one f32 accumulation-order difference per conv, then 6 IN layers
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_corr_volume_build_quantized_matches_reference(rng):
+    """int8 unit-major build (UNIMATCH_VOLUME_INT8) == jnp quantized twin,
+    and rigorous Cauchy-Schwarz scales never clip."""
+    from unimatch_tpu.kernels.corr_volume import (
+        build_volume_quantized, _build_reference_q, _build_reference,
+    )
+
+    b, p, c, m = 2, 300, 128, 6 * 256
+    f0 = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    f1b = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    nu = m // 256
+    n0 = jnp.max(jnp.linalg.norm(f0, axis=-1), axis=-1, keepdims=True)
+    n1u = jnp.max(jnp.linalg.norm(f1b, axis=-1).reshape(b, nu, 256), axis=-1)
+    inv = jnp.where(n0 * n1u > 0, 127.0 / (n0 * n1u), 0.0)
+
+    got = build_volume_quantized(f0, f1b, inv, block_p=128, interpret=True)
+    pp = got.shape[2]
+    want = _build_reference_q(f0, f1b, inv, pp)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got[:, :, :p]), np.asarray(want[:, :, :p]))
+    assert int(np.abs(np.asarray(got)).max()) <= 127  # no clipping by bound
+
+    # dequantized round-trip error bounded by the per-unit step
+    vol = _build_reference(f0, f1b, jnp.float32)  # [B, P, M]
+    deq = np.asarray(got[:, :, :p], np.float32) * np.asarray(
+        (n0 * n1u) / 127.0)[:, :, None, None]
+    want_u = np.asarray(vol).reshape(b, p, nu, 256).transpose(0, 2, 1, 3)
+    step = np.asarray((n0 * n1u) / 127.0)[:, :, None, None]
+    assert np.abs(deq - want_u).max() <= 0.5 * step.max() + 1e-5
+
+
+def test_corr_volume_lookup_int8_matches_float(rng):
+    """The int8 lookup (dequant lanes in sc) == float lookup on the
+    dequantized units, in both interpret and reference forms."""
+    from unimatch_tpu.kernels.corr_volume import (
+        lookup_select_blend, _lookup_reference,
+    )
+
+    n, k = 64, 9
+    g8 = jnp.asarray(rng.randint(-127, 128, (4, n, 256)).astype(np.int8))
+    dq = jnp.asarray((0.5 + rng.rand(n, 4)).astype(np.float32))
+    remy = rng.randint(0, 6, (n,)).astype(np.float32)
+    remx = rng.randint(0, 6, (n,)).astype(np.float32)
+    wx1 = rng.rand(n).astype(np.float32)
+    wy1 = rng.rand(n).astype(np.float32)
+    sc8 = jnp.asarray(np.stack([remy, remx, wx1, wy1] + [np.asarray(dq)[:, u] for u in range(4)], -1))
+    sc4 = jnp.asarray(np.stack([remy, remx, wx1, wy1], -1))
+
+    gf = (g8.astype(jnp.float32) * jnp.transpose(dq)[:, :, None]).astype(jnp.float32)
+    want = _lookup_reference(gf, sc4, k, 0.125, jnp.float32)
+    got_ref = _lookup_reference(g8, sc8, k, 0.125, jnp.float32)
+    got_int = lookup_select_blend(g8, sc8, k, 0.125, jnp.float32, block_p=32,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ref), np.asarray(want), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_int), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_volume_int8_end_to_end_close(rng, monkeypatch):
+    """UNIMATCH_VOLUME_INT8 refine lookup stays within the per-unit
+    quantization step of the bf16-volume path."""
+    b, h, w, c, r = 1, 24, 40, 32, 4
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    flow = jnp.asarray((rng.randn(b, h, w, 2) * 3).astype(np.float32))
+
+    from unimatch_tpu.ops import correlation as C
+
+    monkeypatch.setenv("UNIMATCH_VOLUME_UMAJOR", "1")
+    monkeypatch.delenv("UNIMATCH_VOLUME_INT8", raising=False)
+    vol = C.build_tiled_correlation_volume(f0, f1, r)
+    want = np.asarray(C.local_correlation_with_flow_from_tiled_volume(vol, flow, r))
+
+    monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "1")
+    vol8 = C.build_tiled_correlation_volume(f0, f1, r)
+    assert vol8.vt.dtype == jnp.int8 and vol8.dequant is not None
+    got = np.asarray(C.local_correlation_with_flow_from_tiled_volume(vol8, flow, r))
+
+    step = float(np.asarray(vol8.dequant).max()) / np.sqrt(np.float32(c))
+    assert np.abs(got - want).max() <= 0.75 * step
+    # and the quantized corr still identifies the same best offset almost
+    # everywhere (argmax stability over the 81 window taps)
+    agree = (got.reshape(-1, 81).argmax(-1) == want.reshape(-1, 81).argmax(-1)).mean()
+    assert agree > 0.95

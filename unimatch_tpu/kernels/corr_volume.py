@@ -89,6 +89,67 @@ def _build_kernel_u(f0_ref, f1b_ref, o_ref):
         ).astype(o_ref.dtype)
 
 
+def _build_kernel_uq(f0_ref, f1b_ref, inv_ref, o_ref):
+    """Unit-major build with per-unit int8 quantization (the round-5
+    UNIMATCH_VOLUME_INT8 lever): q = rint(corr * inv_scale[u]) in int8,
+    where inv_scale[u] = 127 / (max_p ||f0_p|| * max_{m in u} ||f1_m||) is
+    a rigorous Cauchy-Schwarz bound — no clipping can occur, so no clamp.
+    Halves the volume's HBM write traffic and every later gather/read;
+    the lookup kernel dequantizes per unit at span assembly."""
+    nu = o_ref.shape[1]
+    tt = o_ref.shape[3]
+    for k in range(nu):
+        acc = jax.lax.dot_general(
+            f0_ref[0], f1b_ref[0, k * tt : (k + 1) * tt, :],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, k] = jnp.rint(acc * inv_ref[0, k]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_p", "interpret"))
+def _build_volume_q_impl(f0, f1b, inv_scales, block_p=512, interpret=False):
+    """Quantized unit-major build: [B, nUnits, Ppad, TILE^2] int8.
+
+    inv_scales: [B, nUnits] f32 per-unit quantization reciprocals (see
+    _build_kernel_uq). Inference-only (no vjp — the volume dispatch is
+    gated to inference mode in the model assembly)."""
+    b, p, c = f0.shape
+    m = f1b.shape[1]
+    bm = _pick_m_block(m)
+    pp = -(-p // block_p) * block_p
+    f0p = _pad_rows(f0, pp)
+    tt = TILE**2
+    nu_blk = bm // tt
+    return pl.pallas_call(
+        _build_kernel_uq,
+        grid=(b, pp // block_p, m // bm),
+        in_specs=[
+            pl.BlockSpec((1, block_p, c), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, c), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nu_blk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nu_blk, block_p, tt),
+                               lambda i, j, k: (i, k, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m // tt, pp, tt), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * pp * m * c,
+            bytes_accessed=b * (pp * c + m * c) * 2 + b * pp * m,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f0p, f1b, inv_scales)
+
+
+def _build_reference_q(f0, f1b, inv_scales, pp):
+    """jnp twin of the quantized unit-major build."""
+    vu = _build_reference_u(f0, f1b, jnp.float32, pp)  # [B, nU, Ppad, tt]
+    return jnp.rint(vu * inv_scales[:, :, None, None]).astype(jnp.int8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "block_p", "interpret", "grid_order", "umajor"),
@@ -234,6 +295,21 @@ def build_volume(f0: jnp.ndarray, f1b: jnp.ndarray, out_dtype=jnp.bfloat16,
     return _build_with_vjp(out_dtype, block_p, grid_order, umajor)(f0, f1b)
 
 
+def build_volume_quantized(f0: jnp.ndarray, f1b: jnp.ndarray,
+                           inv_scales: jnp.ndarray, block_p: int = 512,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Unit-major int8 volume (UNIMATCH_VOLUME_INT8): values are
+    rint(<f0_p, f1_m> * inv_scales[b, u]) with the per-unit Cauchy-Schwarz
+    reciprocal — dequantize with 1/inv_scales. Inference-only (no vjp)."""
+    pp = -(-f0.shape[1] // block_p) * block_p
+    if interpret:
+        return _build_volume_q_impl(f0, f1b, inv_scales, block_p=block_p,
+                                    interpret=True)
+    if jax.default_backend() == "cpu":
+        return _build_reference_q(f0, f1b, inv_scales, pp)
+    return _build_volume_q_impl(f0, f1b, inv_scales, block_p=block_p)
+
+
 # ---------------------------------------------------------------------------
 # lookup: gathered 2x2 units -> span assembly -> rem shift-select -> bilinear
 # ---------------------------------------------------------------------------
@@ -256,7 +332,7 @@ def _var_shift_left(x: jnp.ndarray, val: jnp.ndarray, unit: int) -> jnp.ndarray:
 
 
 def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float,
-                   narrow: bool = False):
+                   narrow: bool = False, dequant: bool = False):
     """Reshape-free select/blend on gathered 2x2 unit spans.
 
     Lane layout (Mosaic rejects in-kernel minor reshapes, so everything is
@@ -276,14 +352,25 @@ def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float,
     assert kk <= TILE
     dt = o_ref.dtype
 
+    sc = sc_ref[...]  # [BP, 4] f32 (remy, remx, wx1, wy1); +4 dequant lanes
     # g_ref: [4, BP, 256] — unit axis leading so each unit slice is a clean
     # 2-D block (Mosaic rejects lane-concat of middle-axis slices whose
     # layouts carry different sublane offsets)
-    span = jnp.concatenate(
-        [g_ref[0], g_ref[1], g_ref[2], g_ref[3]], axis=1
-    ).astype(dt)  # [BP, 1024]
-
-    sc = sc_ref[...]  # [BP, 4] f32: remy, remx, wx1, wy1
+    if dequant:
+        # int8 units: per-unit dequantization at span assembly (sc lanes
+        # 4..8 carry this pixel's 4 unit scales, gathered XLA-side via a
+        # one-hot einsum over the tiny [nUnits] table)
+        span = jnp.concatenate(
+            [
+                (g_ref[u].astype(jnp.float32) * sc[:, 4 + u : 5 + u]).astype(dt)
+                for u in range(4)
+            ],
+            axis=1,
+        )  # [BP, 1024]
+    else:
+        span = jnp.concatenate(
+            [g_ref[0], g_ref[1], g_ref[2], g_ref[3]], axis=1
+        ).astype(dt)  # [BP, 1024]
     remy = sc[:, 0:1].astype(jnp.int32)
     remx = sc[:, 1:2].astype(jnp.int32)
 
@@ -338,16 +425,18 @@ def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False,
     kk = k + 1
     # narrow requires the taps to fit the sliced 256-lane halves
     narrow = narrow and kk <= TILE
+    dequant = sc.shape[1] >= 8
     npad = -(-n // block_p) * block_p
     if npad != n:
         g = jnp.pad(g, ((0, 0), (0, npad - n), (0, 0)))
         sc = jnp.pad(sc, ((0, npad - n), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_lookup_kernel, k=k, scale=scale, narrow=narrow),
+        functools.partial(_lookup_kernel, k=k, scale=scale, narrow=narrow,
+                          dequant=dequant),
         grid=(npad // block_p,),
         in_specs=[
             pl.BlockSpec((4, block_p, TILE**2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_p, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, sc.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_p, kk * TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, kk * TILE), out_dtype),
@@ -362,6 +451,10 @@ def _lookup_reference(g, sc, k, scale, out_dtype):
     kk = k + 1
     t = TILE
     n = g.shape[1]
+    if sc.shape[1] >= 8:  # int8 units + per-unit dequant lanes
+        g = jnp.stack(
+            [g[u].astype(jnp.float32) * sc[:, 4 + u : 5 + u] for u in range(4)]
+        ).astype(out_dtype)
     # units arrive left-column-major on the leading axis: [top-left,
     # bottom-left, top-right, bottom-right], each (row, col) row-major
     left = jnp.stack([g[0], g[1]], axis=1).reshape(n, 2 * t, t)

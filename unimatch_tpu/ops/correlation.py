@@ -323,7 +323,7 @@ class TiledVolume:
     """
 
     def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad, nrc, ngc,
-                 umajor=False):
+                 umajor=False, dequant=None):
         self.vt = vt
         self.h, self.w = h, w
         self.hp, self.wp = hp, wp
@@ -336,6 +336,9 @@ class TiledVolume:
         # no-op bitcast of the build kernel's output (p-major pays a 1.76 GB
         # relayout copy, 5.6 ms/fwd at the flagship shape — round-5 trace)
         self.umajor = umajor
+        # int8 volume (UNIMATCH_VOLUME_INT8): [B, nUnits] f32 per-unit
+        # dequantization factors (None -> bf16 volume)
+        self.dequant = dequant
 
 
 _VOL_TILE = 16
@@ -403,6 +406,24 @@ def build_tiled_correlation_volume(
     # physical relayout copy between build and gather (5.6 ms/fwd, round-5
     # profiler trace; in-situ −5.0 ms, exact parity — PERF_NOTES round-5c)
     umajor = os.environ.get("UNIMATCH_VOLUME_UMAJOR", "1") != "0"
+    if umajor and os.environ.get("UNIMATCH_VOLUME_INT8", "0") != "0":
+        # int8 volume (round 5): per-unit Cauchy-Schwarz quantization —
+        # inv[u] = 127 / (max_p ||f0_p|| * max_{m in u} ||f1_m||) bounds
+        # every correlation the unit can hold, so rint() never clips.
+        # Halves the volume write + the lookup's gather/read bytes at a
+        # <=0.8%-of-unit-max quantization error on the refine corr input.
+        from unimatch_tpu.kernels.corr_volume import build_volume_quantized
+
+        n0 = jnp.max(jnp.linalg.norm(f0.astype(jnp.float32), axis=-1),
+                     axis=-1, keepdims=True)  # [B, 1]
+        n1 = jnp.linalg.norm(f1b.astype(jnp.float32), axis=-1)  # [B, M]
+        n1u = jnp.max(n1.reshape(b, n_units, t * t), axis=-1)  # [B, nU]
+        bound = n0 * n1u
+        inv = jnp.where(bound > 0, 127.0 / bound, 0.0).astype(jnp.float32)
+        vt = build_volume_quantized(f0, f1b, inv)
+        return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5),
+                           vt.shape[2], nrc, ngc, umajor=True,
+                           dequant=(bound / 127.0).astype(jnp.float32))
     vt = build_volume(f0, f1b, out_dtype=feature0.dtype, umajor=umajor)
     if umajor:
         ppad = vt.shape[2]  # [B, nUnits, Ppad, T*T]
@@ -477,15 +498,24 @@ def local_correlation_with_flow_from_tiled_volume(
     g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b * h * w, t * t)
 
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
-    sc = jnp.stack(
-        [
-            remy.astype(jnp.float32).reshape(-1),
-            remx.astype(jnp.float32).reshape(-1),
-            (fx - bx).reshape(-1),
-            (fy - by).reshape(-1),
-        ],
-        axis=-1,
-    )  # [B*H*W, 4]
+    lanes = [
+        remy.astype(jnp.float32).reshape(-1),
+        remx.astype(jnp.float32).reshape(-1),
+        (fx - bx).reshape(-1),
+        (fy - by).reshape(-1),
+    ]
+    if vol.dequant is not None:
+        # per-pixel dequant factors for the 4 gathered units: a one-hot
+        # einsum over the tiny [B, nUnits] table (fused iota-compare-reduce
+        # pass; per-element jnp.take here would be a catastrophic scalar
+        # gather — the round-2 lesson)
+        uid = unit.reshape(4, b, h * w)  # same order as g's leading axis
+        onehot = uid[..., None] == jnp.arange(n_units, dtype=jnp.int32)
+        dq = jnp.einsum(
+            "ubpn,bn->ubp", onehot.astype(jnp.float32), vol.dequant
+        ).reshape(4, -1)
+        lanes += [dq[0], dq[1], dq[2], dq[3]]
+    sc = jnp.stack(lanes, axis=-1)  # [B*H*W, 4 or 8]
 
     from unimatch_tpu.kernels.corr_volume import lookup_select_blend
 
