@@ -453,7 +453,7 @@ def test_backbone_lax_conv_levers_match(rng, monkeypatch):
     enc = CNNEncoder(output_dim=128, num_output_scales=1)
     params = enc.init(jax.random.PRNGKey(0), x)
     monkeypatch.delenv("UNIMATCH_BB_LAX", raising=False)
-    monkeypatch.delenv("UNIMATCH_STEM_LAX", raising=False)
+    monkeypatch.setenv("UNIMATCH_STEM_LAX", "0")  # baseline = matmul stem (flag defaults ON since r5g)
     want = np.asarray(enc.apply(params, x)[0], np.float32)
     monkeypatch.setenv("UNIMATCH_BB_LAX", "1")
     monkeypatch.setenv("UNIMATCH_STEM_LAX", "1")

@@ -95,15 +95,20 @@ def _build_kernel_uq(f0_ref, f1b_ref, inv_ref, o_ref):
     where inv_scale[u] = 127 / (max_p ||f0_p|| * max_{m in u} ||f1_m||) is
     a rigorous Cauchy-Schwarz bound — no clipping can occur, so no clamp.
     Halves the volume's HBM write traffic and every later gather/read;
-    the lookup kernel dequantizes per unit at span assembly."""
+    the lookup kernel dequantizes per unit at span assembly.
+
+    inv_ref is the FULL [1, nUnits] scale row in SMEM (a (1, nu_blk) VMEM
+    block fails Mosaic's 8x128 block-divisibility rule); the kernel offsets
+    by the m-block's program id."""
     nu = o_ref.shape[1]
     tt = o_ref.shape[3]
+    u0 = pl.program_id(2) * nu
     for k in range(nu):
         acc = jax.lax.dot_general(
             f0_ref[0], f1b_ref[0, k * tt : (k + 1) * tt, :],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        o_ref[0, k] = jnp.rint(acc * inv_ref[0, k]).astype(o_ref.dtype)
+        o_ref[0, k] = jnp.rint(acc * inv_ref[0, u0 + k]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_p", "interpret"))
@@ -128,8 +133,8 @@ def _build_volume_q_impl(f0, f1b, inv_scales, block_p=512, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bm, c), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nu_blk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m // tt), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, nu_blk, block_p, tt),
                                lambda i, j, k: (i, k, j, 0),

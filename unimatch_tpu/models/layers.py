@@ -278,14 +278,17 @@ class Conv2d(nn.Module):
         # round-trip, one read pass for both moments) and only the final
         # normalized activation narrows to x.dtype.
         fuse_norm = self.norm == "instance" and self.dilation == 1
-        # lax.conv is erratically slow on this TPU runtime at every channel
-        # width we measured (up to 25x off peak); shifted matmuls are reliable
-        # UNIMATCH_STEM_LAX: the 7x7/2 stem conv via lax.conv — skips the
-        # space-to-depth transform entirely (whose reshape+transpose pair
-        # costs 1.6 ms/forward at the flagship shape, round-5e profile).
+        # UNIMATCH_STEM_LAX (default ON since round 5g): the 7x7/2 stem conv
+        # via lax.conv — skips the space-to-depth transform entirely (whose
+        # reshape+transpose pair cost 1.1-1.6 ms/forward, round-5e profile).
+        # Measured WIN on every variant (r5g: flagship -2.0 ms, depth -0.6,
+        # scale1 -1.8, stereo -1.3); the round-1 "lax.conv is slow" rule
+        # holds for the wide-channel layers (BB_LAX lost, r5f/5g decompose)
+        # but not the 3-channel stem, where the matmul form's s2d relayout
+        # dominates. Opt out with UNIMATCH_STEM_LAX=0.
         stem_lax = (
             self.prefer_lax and cin <= 4 and self.dilation == 1
-            and os.environ.get("UNIMATCH_STEM_LAX", "0") != "0"
+            and os.environ.get("UNIMATCH_STEM_LAX", "1") != "0"
         )
         if stem_lax or (
             self.prefer_lax and _bb_lax() and self.dilation == 1
