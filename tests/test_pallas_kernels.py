@@ -530,7 +530,7 @@ def test_tiled_volume_int8_end_to_end_close(rng, monkeypatch):
     from unimatch_tpu.ops import correlation as C
 
     monkeypatch.setenv("UNIMATCH_VOLUME_UMAJOR", "1")
-    monkeypatch.delenv("UNIMATCH_VOLUME_INT8", raising=False)
+    monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "0")  # baseline arm (flag defaults ON since r5h)
     vol = C.build_tiled_correlation_volume(f0, f1, r)
     want = np.asarray(C.local_correlation_with_flow_from_tiled_volume(vol, flow, r))
 

@@ -276,8 +276,11 @@ def _gru_pass_impl(h, x, kx, khzr, kqh, bzrq, K, horizontal, interpret,
         jnp.arange(nt, dtype=jnp.int32)[:, None] * T
         + jnp.arange(T + 2 * halo, dtype=jnp.int32)[None, :]
     )  # [nt, T + 4*pr] band row indices into the halo-padded map
-    xb = jnp.take(xp, rows, axis=1)  # [B, nt, T + 4*pr, W, cx]
-    hb = jnp.take(hpd, rows, axis=1)
+    # mode="clip": rows is a static in-bounds iota band (max index is
+    # hh_p + 2*halo - 1, the padded length), so fill-mode's select_n over
+    # the banded copies is dead weight
+    xb = jnp.take(xp, rows, axis=1, mode="clip")  # [B, nt, T + 4*pr, W, cx]
+    hb = jnp.take(hpd, rows, axis=1, mode="clip")
     out = pl.pallas_call(
         functools.partial(_vkernel, K=K, hd=hd, dt=dt),
         grid=(b, nt),

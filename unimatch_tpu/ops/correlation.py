@@ -406,7 +406,13 @@ def build_tiled_correlation_volume(
     # physical relayout copy between build and gather (5.6 ms/fwd, round-5
     # profiler trace; in-situ −5.0 ms, exact parity — PERF_NOTES round-5c)
     umajor = os.environ.get("UNIMATCH_VOLUME_UMAJOR", "1") != "0"
-    if umajor and os.environ.get("UNIMATCH_VOLUME_INT8", "0") != "0":
+    # int8 default ON since round-5h: flagship 40.1 vs 41.6 ms in situ, the
+    # 3x-A100 clincher. Error is bounded (<= 0.5 quantization step per value,
+    # tests/test_pallas_kernels.py::test_corr_volume_build_quantized*) and the
+    # refine lookup's argmax is >95% stable; UNIMATCH_VOLUME_INT8=0 restores
+    # the bf16 volume bit-for-bit. Inference-only (training keeps the direct
+    # gather path — models/unimatch.py refine dispatch).
+    if umajor and os.environ.get("UNIMATCH_VOLUME_INT8", "1") != "0":
         # int8 volume (round 5): per-unit Cauchy-Schwarz quantization —
         # inv[u] = 127 / (max_p ||f0_p|| * max_{m in u} ||f1_m||) bounds
         # every correlation the unit can hold, so rint() never clips.
@@ -495,7 +501,12 @@ def local_correlation_with_flow_from_tiled_volume(
     else:
         base = bi * (vol.ppad * n_units) + pix * n_units
         idx = base[None, None] + unit  # [2 (x-unit), 2 (y-unit), B, H, W]
-    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b * h * w, t * t)
+    # mode="clip": idx is in-bounds by construction (sentinel remap above),
+    # and the default fill mode materializes a select_n over the full
+    # [4*H*W, T*T] gather output — 0.54 ms/fwd of pure waste at the
+    # flagship shape (round-5h profile, broadcast_select_fusion.16)
+    g = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
+        4, b * h * w, t * t)
 
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
     lanes = [
