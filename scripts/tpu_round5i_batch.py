@@ -234,6 +234,14 @@ def stage_confirm():
               {"default": {}}, n=24)
 
 
+def stage_scale2_confirm():
+    # gmflow_scale2 (no refine loop) last measured in round 4g (41.8
+    # pairs/s); the stem-lax default landed since. Run as a follow-up
+    # invocation: python scripts/tpu_round5i_batch.py scale2_confirm
+    _run_arms("scale2_confirm", "GMFLOW_SCALE2", (448, 1024),
+              {"default": {}}, n=24)
+
+
 if __name__ == "__main__":
     emit(part="session_r5i", backend=jax.default_backend(),
          start=time.strftime("%H:%M:%S"))
@@ -247,6 +255,7 @@ if __name__ == "__main__":
         "profile_flagship": stage_profile_flagship,
         "profile_depth": stage_profile_depth,
         "confirm": stage_confirm,
+        "scale2_confirm": stage_scale2_confirm,
     }
     for s in stages:
         guarded(fns[s])
