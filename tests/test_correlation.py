@@ -223,41 +223,3 @@ def test_model_refine_volume_dispatch_matches_direct(rng, monkeypatch):
     via_q = np.asarray(model.apply(params, img0, img1, infer=infer)["flow_preds"][-1])
     assert via_q.shape == np.asarray(direct).shape
     assert np.isfinite(via_q).all()
-
-
-def test_depth_warp_dot_matches_warp_form(rng, monkeypatch):
-    """UNIMATCH_DEPTH_WARP_DOT (blend-after-dot) == the warp+einsum form."""
-    b, h, w, c, d = 2, 8, 10, 16, 8
-    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    K = jnp.asarray(np.array([[[12.0, 0, 4.5], [0, 12.0, 3.5], [0, 0, 1]]] * b, np.float32))
-    pose = jnp.asarray(np.stack([_random_pose(rng) for _ in range(b)]))
-    inv_depth = np.linspace(1 / 0.5, 1 / 10.0, d, dtype=np.float32)
-    cand = jnp.asarray(np.broadcast_to(inv_depth[None, :, None, None], (b, d, h, w)).copy())
-
-    monkeypatch.delenv("UNIMATCH_DEPTH_WARP_DOT", raising=False)
-    depth_ref, prob_ref = C.correlation_softmax_depth(f0, f1, K, pose, cand)
-    monkeypatch.setenv("UNIMATCH_DEPTH_WARP_DOT", "1")
-    depth_new, prob_new = C.correlation_softmax_depth(f0, f1, K, pose, cand)
-
-    np.testing.assert_allclose(np.asarray(depth_new), np.asarray(depth_ref), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(prob_new), np.asarray(prob_ref), rtol=1e-4, atol=1e-5)
-
-
-def test_depth_warp_dot_paired_matches_warp_form(rng, monkeypatch):
-    """UNIMATCH_DEPTH_WARP_DOT=pair (double-width corner rows) == warp+einsum."""
-    b, h, w, c, d = 2, 8, 10, 16, 8
-    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
-    K = jnp.asarray(np.array([[[12.0, 0, 4.5], [0, 12.0, 3.5], [0, 0, 1]]] * b, np.float32))
-    pose = jnp.asarray(np.stack([_random_pose(rng) for _ in range(b)]))
-    inv_depth = np.linspace(1 / 0.5, 1 / 10.0, d, dtype=np.float32)
-    cand = jnp.asarray(np.broadcast_to(inv_depth[None, :, None, None], (b, d, h, w)).copy())
-
-    monkeypatch.delenv("UNIMATCH_DEPTH_WARP_DOT", raising=False)
-    depth_ref, prob_ref = C.correlation_softmax_depth(f0, f1, K, pose, cand)
-    monkeypatch.setenv("UNIMATCH_DEPTH_WARP_DOT", "pair")
-    depth_new, prob_new = C.correlation_softmax_depth(f0, f1, K, pose, cand)
-
-    np.testing.assert_allclose(np.asarray(depth_new), np.asarray(depth_ref), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(prob_new), np.asarray(prob_ref), rtol=1e-4, atol=1e-5)

@@ -354,39 +354,6 @@ def test_corr_volume_build_compact_unit_counts(rng):
         )
 
 
-def test_conv_bf16_partials_close(rng, monkeypatch):
-    """UNIMATCH_CONV_BF16_PARTIALS: bf16 tap-partial accumulation stays
-    within bf16 random-walk distance of the f32-partial form (stride 1 and
-    the space-to-depth strided path), and is a no-op for f32 inputs."""
-    from unimatch_tpu.models.layers import conv_via_matmul
-
-    x = jnp.asarray(rng.randn(1, 16, 24, 64), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(3, 3, 64, 96).astype(np.float32) * 0.1, jnp.bfloat16)
-    xs = jnp.asarray(rng.randn(1, 17, 25, 8), jnp.bfloat16)
-    ks = jnp.asarray(rng.randn(7, 7, 8, 32).astype(np.float32) * 0.1, jnp.bfloat16)
-
-    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "0")
-    want = conv_via_matmul(x, k, (1, 1), (1, 1)).astype(jnp.float32)
-    want_s = conv_via_matmul(xs, ks, (2, 2), (3, 3)).astype(jnp.float32)
-
-    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "1")
-    got = conv_via_matmul(x, k, (1, 1), (1, 1)).astype(jnp.float32)
-    got_s = conv_via_matmul(xs, ks, (2, 2), (3, 3)).astype(jnp.float32)
-
-    # K bf16 roundings on O(1)-scale sums: allow a few bf16 ulp
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.2)
-    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=0.2)
-    assert not np.array_equal(np.asarray(got), np.asarray(want))  # lever is live
-
-    xf = x.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "0")
-    want_f = conv_via_matmul(xf, kf, (1, 1), (1, 1))
-    monkeypatch.setenv("UNIMATCH_CONV_BF16_PARTIALS", "1")
-    got_f = conv_via_matmul(xf, kf, (1, 1), (1, 1))
-    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
-
-
 def test_swin_spatial_gate_rejects_unaligned_windows():
     """The spatial swin kernel's support gate must reject window widths that
     are not 8-aligned (Mosaic block constraint): GMStereo's 384x1248 shapes
@@ -431,31 +398,16 @@ def test_corr_volume_lookup_narrow_matches_reference(rng, monkeypatch):
 
 
 
-def test_space_to_depth_slice_form_matches(rng, monkeypatch):
-    """UNIMATCH_S2D_SLICE (strided slices + concat) == reshape+transpose."""
-    from unimatch_tpu.models.layers import _space_to_depth
-
-    for shape, s in (((2, 8, 12, 3), 2), ((1, 12, 8, 5), 4)):
-        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
-        monkeypatch.delenv("UNIMATCH_S2D_SLICE", raising=False)
-        want = _space_to_depth(x, s)
-        monkeypatch.setenv("UNIMATCH_S2D_SLICE", "1")
-        got = _space_to_depth(x, s)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-
 def test_backbone_lax_conv_levers_match(rng, monkeypatch):
-    """UNIMATCH_BB_LAX / UNIMATCH_STEM_LAX (lax.conv lowering for prefer_lax
-    convs) match the shifted-matmul form on the CNNEncoder forward."""
+    """UNIMATCH_STEM_LAX (default-on lax.conv stem lowering) matches the
+    shifted-matmul form on the CNNEncoder forward."""
     from unimatch_tpu.models.backbone import CNNEncoder
 
     x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32))
     enc = CNNEncoder(output_dim=128, num_output_scales=1)
     params = enc.init(jax.random.PRNGKey(0), x)
-    monkeypatch.delenv("UNIMATCH_BB_LAX", raising=False)
     monkeypatch.setenv("UNIMATCH_STEM_LAX", "0")  # baseline = matmul stem (flag defaults ON since r5g)
     want = np.asarray(enc.apply(params, x)[0], np.float32)
-    monkeypatch.setenv("UNIMATCH_BB_LAX", "1")
     monkeypatch.setenv("UNIMATCH_STEM_LAX", "1")
     got = np.asarray(enc.apply(params, x)[0], np.float32)
     # one f32 accumulation-order difference per conv, then 6 IN layers

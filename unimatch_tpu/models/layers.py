@@ -65,61 +65,19 @@ def _use_lax_conv() -> bool:
     return os.environ.get("UNIMATCH_CONV_LAX", "0") != "0"
 
 
-def _bf16_partials(x: jnp.ndarray, out_dtype) -> bool:
-    """A/B lever (UNIMATCH_CONV_BF16_PARTIALS): store the K shifted-matmul
-    tap partials in bf16 instead of f32.
-
-    The measured cost of the matmul-lowered conv is the partial-sum HBM
-    round-trip (K x [N, Cout] f32 write+read — ~470 MB for a 3x3 256->192
-    conv at 112x256, which predicts the observed 1.47 ms almost exactly,
-    docs/PERF_NOTES.md). Narrowing the partials halves that traffic; each
-    tap is still MXU-computed in f32 and rounded once, so the added error is
-    one bf16 rounding per tap plus the bf16 accumulation walk (~K^0.5 ulp),
-    on inputs that already carry bf16 rounding. Only applies to bf16 inputs
-    when the caller has not requested the raw f32 accumulator (fused IN).
-    """
-    return (
-        x.dtype == jnp.bfloat16
-        and out_dtype != jnp.float32
-        and os.environ.get("UNIMATCH_CONV_BF16_PARTIALS", "0") != "0"
-    )
-
-
 def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/s, W/s, s*s*C], channel order (dy, dx, c).
 
-    Two forms (UNIMATCH_S2D_SLICE A/B): the reshape+transpose pair forces a
-    6-D intermediate whose two minor dims are (s, c) — for the 3-channel
-    stem image the resulting {.., s, c}-minor layout lane-pads 3 -> 128 and
-    the pair materializes ~725 MB physical for an 8 MB logical tensor
-    (1.6 ms/forward, round-5e profile: reshape.210 + copy.2192). The
-    strided-slice + channel-concat form computes the same values while
-    leaving XLA free to keep a W-minor layout for narrow-C tensors.
+    A strided-slice + channel-concat form (UNIMATCH_S2D_SLICE) measured
+    +5.9 ms on the flagship (round-5f) — strided slices are pathological on
+    this part — and was removed; the stem now avoids this transform
+    entirely via the default-on lax.conv stem path (round 5g), so this only
+    runs for stride-2 wide-channel convs where the 6-D reshape+transpose
+    pair is layout-benign.
     """
     b, h, w, c = x.shape
-    if os.environ.get("UNIMATCH_S2D_SLICE", "0") != "0":
-        return jnp.concatenate(
-            [x[:, dy::s, dx::s, :] for dy in range(s) for dx in range(s)],
-            axis=-1,
-        )
     x = x.reshape(b, h // s, s, w // s, s, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
-
-
-def _bb_lax() -> bool:
-    """A/B lever (UNIMATCH_BB_LAX): lower the backbone's stride-1 cin>=64
-    convolutions with lax.conv_general_dilated instead of shifted matmuls.
-
-    Motivated by the round-5e profile: (a) the trident conv, which already
-    runs through lax.conv, sustains ~0.3 ms at [2, 112, 256, 128] — the
-    round-1 "lax.conv is 10-25x off peak" pathology is gone at wide
-    channels on the current libtpu; (b) the shifted-matmul form's K f32
-    tap-partial accumulator chain is most of the backbone's ~5 ms of conv
-    time (each layer1 partial is a 58.7 MB f32 [2, 224, 512, 64] tensor).
-    lax.conv is one HLO op with VMEM-internal accumulation — zero partial
-    traffic. Scoped to the backbone so the refine path (motion/GRU Pallas
-    kernels + measured-tie head convs) is unaffected."""
-    return os.environ.get("UNIMATCH_BB_LAX", "0") != "0"
 
 
 def conv_via_matmul(
@@ -178,7 +136,8 @@ def conv_via_matmul(
                 "bhwc,co->bhwo", cols, kernel.reshape(kh * kw * cin, cout),
                 preferred_element_type=jnp.float32,
             ).astype(out_dtype)
-        narrow = _bf16_partials(x, out_dtype)
+        # bf16 tap partials (UNIMATCH_CONV_BF16_PARTIALS) tied twice on chip
+        # (r4c, r5h) and were removed; partials stay f32.
         acc = None
         for u in range(kh):
             for v in range(kw):
@@ -188,8 +147,6 @@ def conv_via_matmul(
                     kernel[u, v],
                     preferred_element_type=jnp.float32,
                 )
-                if narrow:
-                    part = part.astype(jnp.bfloat16)
                 acc = part if acc is None else acc + part
         return acc.astype(out_dtype)
 
@@ -225,7 +182,6 @@ def conv_via_matmul(
     # matmul measured 4x SLOWER than the per-cell accumulation below (the
     # sub-128-channel cell slices lane-pad and the concat relayouts): keep
     # the per-cell matmuls.
-    narrow = _bf16_partials(x, out_dtype)
     acc = None
     for a in range(na):
         for bb in range(nb):
@@ -236,8 +192,6 @@ def conv_via_matmul(
             k2 = cell_kernel(a, bb)
             sl = xs[:, a : a + oh, bb : bb + ow, :]
             part = jnp.einsum("bhwc,co->bhwo", sl, k2, preferred_element_type=jnp.float32)
-            if narrow:
-                part = part.astype(jnp.bfloat16)
             acc = part if acc is None else acc + part
     return acc.astype(out_dtype)
 
@@ -264,7 +218,7 @@ class Conv2d(nn.Module):
     kernel_init: Any = conv_kaiming_init
     act: Any = None  # None | 'relu' | 'sigmoid' | 'tanh', applied after bias+norm
     norm: Any = None  # None | 'instance', applied after bias, before act
-    prefer_lax: bool = False  # with UNIMATCH_BB_LAX: lax.conv for wide stride-1 convs
+    prefer_lax: bool = False  # stem marker: lax.conv path for cin<=4 (r5g win)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -283,17 +237,15 @@ class Conv2d(nn.Module):
         # reshape+transpose pair cost 1.1-1.6 ms/forward, round-5e profile).
         # Measured WIN on every variant (r5g: flagship -2.0 ms, depth -0.6,
         # scale1 -1.8, stereo -1.3); the round-1 "lax.conv is slow" rule
-        # holds for the wide-channel layers (BB_LAX lost, r5f/5g decompose)
-        # but not the 3-channel stem, where the matmul form's s2d relayout
-        # dominates. Opt out with UNIMATCH_STEM_LAX=0.
+        # holds for the wide-channel layers (a UNIMATCH_BB_LAX lever lost
+        # +1.8 ms, r5f/5g decompose, and was removed) but not the 3-channel
+        # stem, where the matmul form's s2d relayout dominates. Opt out
+        # with UNIMATCH_STEM_LAX=0.
         stem_lax = (
             self.prefer_lax and cin <= 4 and self.dilation == 1
             and os.environ.get("UNIMATCH_STEM_LAX", "1") != "0"
         )
-        if stem_lax or (
-            self.prefer_lax and _bb_lax() and self.dilation == 1
-            and self.stride == (1, 1) and cin >= 64 and kh * kw > 1
-        ):
+        if stem_lax:
             y = jax.lax.conv_general_dilated(
                 x, kernel,
                 window_strides=self.stride,

@@ -760,26 +760,18 @@ def correlation_softmax_depth(
     # forward — docs/PERF_NOTES.md round 5): sub-transaction scalar gathers
     # lose to the 4-feature-row grid-sample warp, the same failure mode as
     # the round-2 flat RAFT-style refine volume. Removed (git cbab3e9).
-    warp_dot = os.environ.get("UNIMATCH_DEPTH_WARP_DOT", "0")
-    if warp_dot != "0":
-        # blend-after-dot: the [B, D, H, W, C] warped tensor (78 MB bf16 at
-        # GMDepth-scale1, plus its gather->reduce layout copy) is never
-        # formed — each corner's row gather fuses into a scalar
-        # multiply-reduce against feature0 (ops/geometry.py:grid_sample_dot).
-        # "pair" additionally fetches (x0, x0+1) corner pairs as single
-        # double-width rows: 2 gathers/(d, p) instead of 4 (transaction-
-        # limited gather stage). Plain "1" measured a TIE in situ (round-5e).
-        pixel = _pose_depth_pixel_coords(intrinsics, pose, 1.0 / depth_candidates)
-        corr = G.grid_sample_dot(
-            feature1, pixel, feature0, paired=warp_dot == "pair"
-        ) / jnp.sqrt(jnp.float32(c))
-    else:
-        warped = warp_with_pose_depth_candidates(
-            feature1, intrinsics, pose, 1.0 / depth_candidates
-        )  # [B, D, H, W, C]
-        corr = jnp.einsum(
-            "bdhwc,bhwc->bdhw", warped, feature0, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.float32(c))
+    # A blend-after-dot form (UNIMATCH_DEPTH_WARP_DOT, ops/geometry.py
+    # grid_sample_dot — never materialize the [B, D, H, W, C] warped tensor)
+    # measured a TIE in situ (round-5e) and its double-width "pair" gather
+    # variant LOST (+0.7 ms, round-5f): the 4x256 B corner-row gathers are
+    # spatially coherent and already coalesce. Both removed (round-5 prune);
+    # the warp+einsum below is the measured-best form.
+    warped = warp_with_pose_depth_candidates(
+        feature1, intrinsics, pose, 1.0 / depth_candidates
+    )  # [B, D, H, W, C]
+    corr = jnp.einsum(
+        "bdhwc,bhwc->bdhw", warped, feature0, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(c))
 
     prob = jax.nn.softmax(corr, axis=1)  # over D, fp32
 

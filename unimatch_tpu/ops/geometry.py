@@ -132,115 +132,6 @@ def grid_sample(
     return out.reshape((b,) + lead + (c,))
 
 
-def grid_sample_dot(
-    img: jnp.ndarray,
-    coords: jnp.ndarray,
-    query: jnp.ndarray,
-    padding_mode: str = "zeros",
-    paired: bool = False,
-) -> jnp.ndarray:
-    """dot(query, grid_sample(img, coords)) with the bilinear blend moved
-    AFTER the feature dot.
-
-    img [B, H, W, C]; coords [B, D, H, W, 2] pixel (x, y); query [B, H, W, C]
-    (broadcast over D). Returns [B, D, H, W] f32.
-
-    Both the blend and the dot are linear, so
-        <q, sum_c w_c * img[corner_c]>  ==  sum_c w_c * <q, img[corner_c]>
-    exactly (up to f32 summation order). The right-hand form never forms the
-    [B, D, H, W, C] sampled tensor (78 MB bf16 at GMDepth-scale1 — plus the
-    layout copy between the gather fusions and the reduce that the round-5d
-    profile measured at ~1.4 ms/forward): each corner's row-gather fuses
-    straight into a [B, D, H, W]-scalar multiply-reduce against the query.
-    Same zeros-padding semantics as grid_sample (per-tap masking).
-
-    paired=True additionally fetches each corner ROW-PAIR (x0, x0+1) as one
-    double-width row from a pre-paired operand [B, H, W+1, 2C] (row x̃ holds
-    [img[x̃-1] | img[x̃]] of the zero-extended image): 2 gathers of 2C-wide
-    rows per (d, p) instead of 4 of C-wide — HBM row gathers here are
-    transaction-limited (CLAUDE.md cost curve), so halving the row count at
-    constant bytes is a ~1.4x lever on the gather stage. Costs one cheap
-    build pass over img (2.4 -> 5 MB at GMDepth-scale1).
-    """
-    b, h, w, c = img.shape
-    d = coords.shape[1]
-    x = coords[..., 0].astype(jnp.float32).reshape(b, -1)  # [B, D*H*W]
-    y = coords[..., 1].astype(jnp.float32).reshape(b, -1)
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx1 = x - x0
-    wy1 = y - y0
-
-    # [B, 1, HW, C]: broadcasts over D inside the multiply-reduce fusion
-    # (a plain jnp view — never materialized at [B, D, HW, C])
-    qf = query.reshape(b, 1, h * w, c)
-
-    if padding_mode == "zeros":
-        def valid(iy, ix):
-            return ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)).astype(
-                jnp.float32
-            )
-    elif padding_mode == "border":
-        def valid(iy, ix):
-            return jnp.ones(x.shape, jnp.float32)
-    else:
-        raise ValueError(f"unsupported padding_mode: {padding_mode}")
-
-    if paired:
-        assert padding_mode == "zeros", "paired mode relies on zero borders"
-        # pair row x̃ = x0+1 ∈ [0, W]: halves (img[x0], img[x0+1]), zeros
-        # outside the image so out-of-range halves contribute 0 either way
-        # (the per-corner masks below still zero them exactly).
-        ext = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (0, 0)))
-        pairs = jnp.concatenate([ext[:, :, :-1], ext[:, :, 1:]], axis=-1)
-        flatp = pairs.reshape(b * h * (w + 1), 2 * c)
-        batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * (w + 1)))[:, None] if b > 1 else 0
-        xq = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)  # pair-row index
-
-        def row_dots(iy):
-            iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-            idx = iyc * (w + 1) + xq + batch_off  # [B, N]
-            g = jnp.take(flatp, idx.reshape(-1), axis=0, mode="clip").reshape(
-                b, d, h * w, 2 * c)
-            gf = g.astype(jnp.float32)
-            s0 = jnp.sum(gf[..., :c] * qf.astype(jnp.float32), axis=-1)
-            s1 = jnp.sum(gf[..., c:] * qf.astype(jnp.float32), axis=-1)
-            return s0.reshape(b, -1), s1.reshape(b, -1)
-
-        t00, t01 = row_dots(y0)
-        t10, t11 = row_dots(y0 + 1)
-        out = (
-            t00 * ((1 - wy1) * (1 - wx1) * valid(y0, x0))
-            + t01 * ((1 - wy1) * wx1 * valid(y0, x0 + 1))
-            + t10 * (wy1 * (1 - wx1) * valid(y0 + 1, x0))
-            + t11 * (wy1 * wx1 * valid(y0 + 1, x0 + 1))
-        )
-        return out.reshape(b, d, h, w)
-
-    flat = img.reshape(b * h * w, c)
-    batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None] if b > 1 else 0
-
-    def corner_dot(iy, ix):
-        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
-        idx = iyc * w + ixc + batch_off  # [B, N]
-        g = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
-            b, d, h * w, c)
-        # elementwise mul + lane reduce (NOT dot_general: XLA fuses the row
-        # gather and the broadcast query straight into the reduce fusion)
-        s = jnp.sum(g.astype(jnp.float32) * qf.astype(jnp.float32), axis=-1)
-        return s.reshape(b, -1)
-
-    out = (
-        corner_dot(y0, x0) * ((1 - wy1) * (1 - wx1) * valid(y0, x0))
-        + corner_dot(y0, x0 + 1) * ((1 - wy1) * wx1 * valid(y0, x0 + 1))
-        + corner_dot(y0 + 1, x0) * (wy1 * (1 - wx1) * valid(y0 + 1, x0))
-        + corner_dot(y0 + 1, x0 + 1) * (wy1 * wx1 * valid(y0 + 1, x0 + 1))
-    )
-    return out.reshape(b, d, h, w)
-
-
 def bilinear_sample(
     img: jnp.ndarray,
     sample_coords: jnp.ndarray,
