@@ -223,3 +223,38 @@ def test_model_refine_volume_dispatch_matches_direct(rng, monkeypatch):
     via_q = np.asarray(model.apply(params, img0, img1, infer=infer)["flow_preds"][-1])
     assert via_q.shape == np.asarray(direct).shape
     assert np.isfinite(via_q).all()
+
+
+def test_stereo_model_refine_volume_dispatch_matches_direct(rng, monkeypatch):
+    """The STEREO regrefine loop shares the tiled-volume dispatch
+    (unimatch.py refine dispatch covers task != depth): bf16-volume parity
+    against the direct gather, plus an int8-arm dispatch/finiteness smoke —
+    this is the path the gmstereo_scale2_regrefine3 bench variant runs
+    default-on (int8 A/B: PERF_NOTES round-5i)."""
+    import jax
+    from unimatch_tpu.config import ModelConfig, InferenceConfig
+    from unimatch_tpu.models.unimatch import UniMatch
+
+    cfg = ModelConfig(task="stereo", num_scales=1, upsample_factor=8,
+                      reg_refine=True)
+    infer = InferenceConfig(
+        attn_splits_list=(2,), corr_radius_list=(-1,), prop_radius_list=(-1,),
+        attn_type="self_swin2d_cross_1d", num_reg_refine=2,
+    )
+    model = UniMatch(config=cfg)
+    img0 = jnp.asarray((rng.rand(1, 32, 48, 3) * 255).astype(np.float32))
+    img1 = jnp.asarray((rng.rand(1, 32, 48, 3) * 255).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img0, img1, infer=infer)
+
+    monkeypatch.setenv("UNIMATCH_REFINE_VOLUME", "0")
+    direct = model.apply(params, img0, img1, infer=infer)["flow_preds"][-1]
+    monkeypatch.setenv("UNIMATCH_REFINE_VOLUME", "1")
+    monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "0")
+    via_vol = model.apply(params, img0, img1, infer=infer)["flow_preds"][-1]
+    np.testing.assert_allclose(
+        np.asarray(via_vol), np.asarray(direct), rtol=1e-3, atol=1e-3
+    )
+    monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "1")
+    via_q = np.asarray(model.apply(params, img0, img1, infer=infer)["flow_preds"][-1])
+    assert via_q.shape == np.asarray(direct).shape
+    assert np.isfinite(via_q).all()
