@@ -487,6 +487,7 @@ def test_tiled_volume_int8_end_to_end_close(rng, monkeypatch):
     want = np.asarray(C.local_correlation_with_flow_from_tiled_volume(vol, flow, r))
 
     monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "1")
+    monkeypatch.setenv("UNIMATCH_VOLUME_PAIR", "0")  # unpaired form (pair defaults ON since r5j)
     vol8 = C.build_tiled_correlation_volume(f0, f1, r)
     assert vol8.vt.dtype == jnp.int8 and vol8.dequant is not None
     got = np.asarray(C.local_correlation_with_flow_from_tiled_volume(vol8, flow, r))
@@ -495,5 +496,89 @@ def test_tiled_volume_int8_end_to_end_close(rng, monkeypatch):
     assert np.abs(got - want).max() <= 0.75 * step
     # and the quantized corr still identifies the same best offset almost
     # everywhere (argmax stability over the 81 window taps)
+    agree = (got.reshape(-1, 81).argmax(-1) == want.reshape(-1, 81).argmax(-1)).mean()
+    assert agree > 0.95
+
+
+def test_corr_volume_build_quantized_paired_matches_reference(rng):
+    """Paired-unit int8 build (unit_rows=512, UNIMATCH_VOLUME_PAIR) == jnp
+    quantized twin through the Pallas interpret path."""
+    from unimatch_tpu.kernels.corr_volume import (
+        build_volume_quantized, _build_reference_q,
+    )
+
+    b, p, c, m = 2, 300, 128, 6 * 512  # 6 pair units of 512 rows
+    f0 = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    f1b = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    nu = m // 512
+    n0 = jnp.max(jnp.linalg.norm(f0, axis=-1), axis=-1, keepdims=True)
+    n1u = jnp.max(jnp.linalg.norm(f1b, axis=-1).reshape(b, nu, 512), axis=-1)
+    inv = jnp.where(n0 * n1u > 0, 127.0 / (n0 * n1u), 0.0)
+
+    got = build_volume_quantized(f0, f1b, inv, block_p=128, interpret=True,
+                                 unit_rows=512)
+    assert got.shape[1] == nu and got.shape[3] == 512
+    pp = got.shape[2]
+    want = _build_reference_q(f0, f1b, inv, pp, unit_rows=512)
+    np.testing.assert_array_equal(np.asarray(got[:, :, :p]), np.asarray(want[:, :, :p]))
+    assert int(np.abs(np.asarray(got)).max()) <= 127
+
+
+def test_corr_volume_lookup_paired_matches_float(rng):
+    """The 2-lane paired lookup (nu=2, 512-lane rows, dequant lanes 4..6)
+    == the float lookup on the split/dequantized 4-unit form, in both the
+    interpret kernel and the jnp reference."""
+    from unimatch_tpu.kernels.corr_volume import (
+        lookup_select_blend, _lookup_reference,
+    )
+
+    n, k = 64, 9
+    g2 = jnp.asarray(rng.randint(-127, 128, (2, n, 512)).astype(np.int8))
+    dq = jnp.asarray((0.5 + rng.rand(n, 2)).astype(np.float32))
+    remy = rng.randint(0, 6, (n,)).astype(np.float32)
+    remx = rng.randint(0, 6, (n,)).astype(np.float32)
+    wx1 = rng.rand(n).astype(np.float32)
+    wy1 = rng.rand(n).astype(np.float32)
+    sc6 = jnp.asarray(np.stack(
+        [remy, remx, wx1, wy1, np.asarray(dq)[:, 0], np.asarray(dq)[:, 1]], -1))
+    sc4 = jnp.asarray(np.stack([remy, remx, wx1, wy1], -1))
+
+    # float oracle: split each pair row into its two 256-lane units, scaled
+    g4 = jnp.stack([g2[0, :, :256], g2[0, :, 256:], g2[1, :, :256], g2[1, :, 256:]])
+    dq4 = jnp.stack([dq[:, 0], dq[:, 0], dq[:, 1], dq[:, 1]])
+    gf = (g4.astype(jnp.float32) * dq4[:, :, None]).astype(jnp.float32)
+    want = _lookup_reference(gf, sc4, k, 0.125, jnp.float32)
+    got_ref = _lookup_reference(g2, sc6, k, 0.125, jnp.float32)
+    got_int = lookup_select_blend(g2, sc6, k, 0.125, jnp.float32, block_p=32,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ref), np.asarray(want), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_int), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_volume_paired_end_to_end_close(rng, monkeypatch):
+    """UNIMATCH_VOLUME_PAIR (y-paired int8 units: 2 x 512 B gathers per
+    pixel instead of 4 x 256 B) stays within the per-pair quantization step
+    of the bf16-volume path, including batch > 1 and boundary windows."""
+    b, h, w, c, r = 2, 24, 40, 32, 4
+    f0 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    flow = jnp.asarray((rng.randn(b, h, w, 2) * 6).astype(np.float32))
+
+    from unimatch_tpu.ops import correlation as C
+
+    monkeypatch.setenv("UNIMATCH_VOLUME_UMAJOR", "1")
+    monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "0")
+    vol = C.build_tiled_correlation_volume(f0, f1, r)
+    want = np.asarray(C.local_correlation_with_flow_from_tiled_volume(vol, flow, r))
+
+    monkeypatch.setenv("UNIMATCH_VOLUME_INT8", "1")
+    monkeypatch.setenv("UNIMATCH_VOLUME_PAIR", "1")  # explicit (default since r5j)
+    volp = C.build_tiled_correlation_volume(f0, f1, r)
+    assert volp.paired and volp.vt.dtype == jnp.int8
+    assert volp.vt.shape[3] == 512  # [B, nPairs, Ppad, 2*T*T]
+    got = np.asarray(C.local_correlation_with_flow_from_tiled_volume(volp, flow, r))
+
+    step = float(np.asarray(volp.dequant).max()) / np.sqrt(np.float32(c))
+    assert np.abs(got - want).max() <= 0.75 * step
     agree = (got.reshape(-1, 81).argmax(-1) == want.reshape(-1, 81).argmax(-1)).mean()
     assert agree > 0.95

@@ -52,14 +52,15 @@ def _pad_rows(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _pick_m_block(m: int, target: int = 2048, cap: int = 4096) -> int:
-    """Largest multiple-of-256 divisor of m that is <= cap, preferring ~target."""
-    units = m // TILE**2
+def _pick_m_block(m: int, target: int = 2048, cap: int = 4096,
+                  unit: int = TILE**2) -> int:
+    """Largest multiple-of-`unit` divisor of m that is <= cap."""
+    units = m // unit
     best = 1
     for u in range(1, units + 1):
-        if units % u == 0 and u * TILE**2 <= cap:
+        if units % u == 0 and u * unit <= cap:
             best = u
-    return best * TILE**2
+    return best * unit
 
 
 # ---------------------------------------------------------------------------
@@ -111,19 +112,23 @@ def _build_kernel_uq(f0_ref, f1b_ref, inv_ref, o_ref):
         o_ref[0, k] = jnp.rint(acc * inv_ref[0, u0 + k]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_p", "interpret"))
-def _build_volume_q_impl(f0, f1b, inv_scales, block_p=512, interpret=False):
-    """Quantized unit-major build: [B, nUnits, Ppad, TILE^2] int8.
+@functools.partial(jax.jit, static_argnames=("block_p", "interpret", "unit_rows"))
+def _build_volume_q_impl(f0, f1b, inv_scales, block_p=512, interpret=False,
+                         unit_rows=TILE**2):
+    """Quantized unit-major build: [B, nUnits, Ppad, unit_rows] int8.
 
     inv_scales: [B, nUnits] f32 per-unit quantization reciprocals (see
-    _build_kernel_uq). Inference-only (no vjp — the volume dispatch is
-    gated to inference mode in the model assembly)."""
+    _build_kernel_uq). unit_rows = TILE^2 for plain units, 2*TILE^2 for the
+    y-paired volume (UNIMATCH_VOLUME_PAIR: each stored unit is a vertical
+    tile pair, halving the lookup's gather-transaction count).
+    Inference-only (no vjp — the volume dispatch is gated to inference mode
+    in the model assembly)."""
     b, p, c = f0.shape
     m = f1b.shape[1]
-    bm = _pick_m_block(m)
+    bm = _pick_m_block(m, unit=unit_rows)
     pp = -(-p // block_p) * block_p
     f0p = _pad_rows(f0, pp)
-    tt = TILE**2
+    tt = unit_rows
     nu_blk = bm // tt
     return pl.pallas_call(
         _build_kernel_uq,
@@ -149,9 +154,9 @@ def _build_volume_q_impl(f0, f1b, inv_scales, block_p=512, interpret=False):
     )(f0p, f1b, inv_scales)
 
 
-def _build_reference_q(f0, f1b, inv_scales, pp):
+def _build_reference_q(f0, f1b, inv_scales, pp, unit_rows=TILE**2):
     """jnp twin of the quantized unit-major build."""
-    vu = _build_reference_u(f0, f1b, jnp.float32, pp)  # [B, nU, Ppad, tt]
+    vu = _build_reference_u(f0, f1b, jnp.float32, pp, unit_rows)
     return jnp.rint(vu * inv_scales[:, :, None, None]).astype(jnp.int8)
 
 
@@ -227,10 +232,10 @@ def _build_reference(f0, f1b, out_dtype):
     return jnp.einsum("bpc,bmc->bpm", f0, f1b, preferred_element_type=out_dtype)
 
 
-def _build_reference_u(f0, f1b, out_dtype, pp):
-    """jnp twin of the unit-major build: [B, nUnits, Ppad, TILE^2]."""
+def _build_reference_u(f0, f1b, out_dtype, pp, unit_rows=TILE**2):
+    """jnp twin of the unit-major build: [B, nUnits, Ppad, unit_rows]."""
     b, p, _ = f0.shape
-    tt = TILE**2
+    tt = unit_rows
     nu = f1b.shape[1] // tt
     v = _build_reference(f0, f1b, out_dtype)  # [B, P, M]
     v = _pad_rows(v, pp)
@@ -302,17 +307,20 @@ def build_volume(f0: jnp.ndarray, f1b: jnp.ndarray, out_dtype=jnp.bfloat16,
 
 def build_volume_quantized(f0: jnp.ndarray, f1b: jnp.ndarray,
                            inv_scales: jnp.ndarray, block_p: int = 512,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           unit_rows: int = TILE**2) -> jnp.ndarray:
     """Unit-major int8 volume (UNIMATCH_VOLUME_INT8): values are
     rint(<f0_p, f1_m> * inv_scales[b, u]) with the per-unit Cauchy-Schwarz
-    reciprocal — dequantize with 1/inv_scales. Inference-only (no vjp)."""
+    reciprocal — dequantize with 1/inv_scales. unit_rows=2*TILE^2 builds the
+    y-paired volume (UNIMATCH_VOLUME_PAIR). Inference-only (no vjp)."""
     pp = -(-f0.shape[1] // block_p) * block_p
     if interpret:
         return _build_volume_q_impl(f0, f1b, inv_scales, block_p=block_p,
-                                    interpret=True)
+                                    interpret=True, unit_rows=unit_rows)
     if jax.default_backend() == "cpu":
-        return _build_reference_q(f0, f1b, inv_scales, pp)
-    return _build_volume_q_impl(f0, f1b, inv_scales, block_p=block_p)
+        return _build_reference_q(f0, f1b, inv_scales, pp, unit_rows)
+    return _build_volume_q_impl(f0, f1b, inv_scales, block_p=block_p,
+                                unit_rows=unit_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -357,24 +365,28 @@ def _lookup_kernel(g_ref, sc_ref, o_ref, *, k: int, scale: float,
     assert kk <= TILE
     dt = o_ref.dtype
 
-    sc = sc_ref[...]  # [BP, 4] f32 (remy, remx, wx1, wy1); +4 dequant lanes
-    # g_ref: [4, BP, 256] — unit axis leading so each unit slice is a clean
-    # 2-D block (Mosaic rejects lane-concat of middle-axis slices whose
-    # layouts carry different sublane offsets)
+    sc = sc_ref[...]  # [BP, 4] f32 (remy, remx, wx1, wy1); +nu dequant lanes
+    # g_ref: [nu, BP, 1024/nu] — unit axis leading so each unit slice is a
+    # clean 2-D block (Mosaic rejects lane-concat of middle-axis slices
+    # whose layouts carry different sublane offsets). nu=4: plain units in
+    # left-column-major order; nu=2: y-PAIRED units (UNIMATCH_VOLUME_PAIR),
+    # each 512-lane row already holding [top|bottom] of one column — the
+    # concat below produces the identical 1024-lane span either way.
+    nu = g_ref.shape[0]
     if dequant:
         # int8 units: per-unit dequantization at span assembly (sc lanes
-        # 4..8 carry this pixel's 4 unit scales, gathered XLA-side via a
+        # 4..4+nu carry this pixel's unit scales, gathered XLA-side via a
         # one-hot einsum over the tiny [nUnits] table)
         span = jnp.concatenate(
             [
                 (g_ref[u].astype(jnp.float32) * sc[:, 4 + u : 5 + u]).astype(dt)
-                for u in range(4)
+                for u in range(nu)
             ],
             axis=1,
         )  # [BP, 1024]
     else:
         span = jnp.concatenate(
-            [g_ref[0], g_ref[1], g_ref[2], g_ref[3]], axis=1
+            [g_ref[u] for u in range(nu)], axis=1
         ).astype(dt)  # [BP, 1024]
     remy = sc[:, 0:1].astype(jnp.int32)
     remx = sc[:, 1:2].astype(jnp.int32)
@@ -430,7 +442,7 @@ def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False,
     kk = k + 1
     # narrow requires the taps to fit the sliced 256-lane halves
     narrow = narrow and kk <= TILE
-    dequant = sc.shape[1] >= 8
+    dequant = sc.shape[1] >= 4 + g.shape[0]
     npad = -(-n // block_p) * block_p
     if npad != n:
         g = jnp.pad(g, ((0, 0), (0, npad - n), (0, 0)))
@@ -440,7 +452,7 @@ def _lookup_impl(g, sc, k, scale, out_dtype, block_p=256, interpret=False,
                           dequant=dequant),
         grid=(npad // block_p,),
         in_specs=[
-            pl.BlockSpec((4, block_p, TILE**2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.shape[0], block_p, g.shape[2]), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_p, sc.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_p, kk * TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -456,6 +468,16 @@ def _lookup_reference(g, sc, k, scale, out_dtype):
     kk = k + 1
     t = TILE
     n = g.shape[1]
+    if g.shape[0] == 2:
+        # y-paired units: split each [top|bottom] 512-lane row back into the
+        # 4-unit left-column-major form and duplicate the pair scales
+        tt = t * t
+        g = jnp.stack([g[0, :, :tt], g[0, :, tt:], g[1, :, :tt], g[1, :, tt:]])
+        if sc.shape[1] >= 6:
+            sc = jnp.concatenate(
+                [sc[:, :4], sc[:, 4:5], sc[:, 4:5], sc[:, 5:6], sc[:, 5:6]],
+                axis=1,
+            )
     if sc.shape[1] >= 8:  # int8 units + per-unit dequant lanes
         g = jnp.stack(
             [g[u].astype(jnp.float32) * sc[:, 4 + u : 5 + u] for u in range(4)]

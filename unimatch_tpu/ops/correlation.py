@@ -323,7 +323,7 @@ class TiledVolume:
     """
 
     def __init__(self, vt, h, w, hp, wp, pad, tile, scale, ppad, nrc, ngc,
-                 umajor=False, dequant=None):
+                 umajor=False, dequant=None, paired=False):
         self.vt = vt
         self.h, self.w = h, w
         self.hp, self.wp = hp, wp
@@ -339,6 +339,13 @@ class TiledVolume:
         # int8 volume (UNIMATCH_VOLUME_INT8): [B, nUnits] f32 per-unit
         # dequantization factors (None -> bf16 volume)
         self.dequant = dequant
+        # y-paired units (UNIMATCH_VOLUME_PAIR, int8 only): vt is
+        # [B, nPairs, Ppad, 2*T*T] where pair q = a*ngc + gg holds
+        # [tile(a-1, gg) | tile(a, gg)] over compact tile rows a-1, a in
+        # [-1, nrc] (out-of-core halves zero) — the lookup then needs 2 row
+        # gathers per pixel instead of 4 (the gather is TRANSACTION-limited:
+        # halving bytes via int8 didn't move it, round-5i profile)
+        self.paired = paired
 
 
 _VOL_TILE = 16
@@ -422,6 +429,41 @@ def build_tiled_correlation_volume(
 
         n0 = jnp.max(jnp.linalg.norm(f0.astype(jnp.float32), axis=-1),
                      axis=-1, keepdims=True)  # [B, 1]
+        if os.environ.get("UNIMATCH_VOLUME_PAIR", "1") != "0":
+            # y-paired units (default ON since round-5j: flagship 38.9-39.3
+            # vs 39.9-40.6 ms, stereo 35.1 vs 35.8-36.1 — every interleaved
+            # rep wins): each stored unit is a vertical tile PAIR
+            # [tile(a-1, gg) | tile(a, gg)] over compact rows a-1, a in
+            # [-1, nrc] (halves outside the core are zero), so a window
+            # lookup gathers 2 x 512 B rows instead of 4 x 256 B. The 4-row
+            # gather is transaction-limited (halving its bytes via int8
+            # changed nothing, r5i profile: 27.89 vs 27.97 ms), so halving
+            # the ROW COUNT is the remaining lever; it costs a 2x volume
+            # build (each tile is written twice). Int8-only;
+            # UNIMATCH_VOLUME_PAIR=0 restores plain units.
+            tiles = f1b[:, : nrc * ngc * t * t].reshape(b, nrc, ngc, t * t, c)
+            zrow = jnp.zeros((b, 1, ngc, t * t, c), f1b.dtype)
+            pairs = jnp.concatenate(
+                [
+                    jnp.concatenate([zrow, tiles], axis=1),  # tile(a-1)
+                    jnp.concatenate([tiles, zrow], axis=1),  # tile(a)
+                ],
+                axis=3,
+            )  # [B, nrc+1, ngc, 2*t*t, C]
+            npc = (nrc + 1) * ngc
+            npairs = -(-(npc + 1) // 8) * 8  # + zero sentinel, build-rounded
+            f1p = pairs.reshape(b, npc * 2 * t * t, c)
+            f1p = jnp.pad(
+                f1p, ((0, 0), (0, (npairs - npc) * 2 * t * t), (0, 0)))
+            n1 = jnp.linalg.norm(f1p.astype(jnp.float32), axis=-1)
+            n1u = jnp.max(n1.reshape(b, npairs, 2 * t * t), axis=-1)
+            bound = n0 * n1u
+            inv = jnp.where(bound > 0, 127.0 / bound, 0.0).astype(jnp.float32)
+            vt = build_volume_quantized(f0, f1p, inv, unit_rows=2 * t * t)
+            return TiledVolume(vt, h, w, hp, wp, pad, t, 1.0 / (c**0.5),
+                               vt.shape[2], nrc, ngc, umajor=True,
+                               dequant=(bound / 127.0).astype(jnp.float32),
+                               paired=True)
         n1 = jnp.linalg.norm(f1b.astype(jnp.float32), axis=-1)  # [B, M]
         n1u = jnp.max(n1.reshape(b, n_units, t * t), axis=-1)  # [B, nU]
         bound = n0 * n1u
@@ -483,30 +525,46 @@ def local_correlation_with_flow_from_tiled_volume(
     # (top-left, bottom-left, top-right, bottom-right). Unit coords are in
     # the padded grid; subtracting the one-tile ring maps to the compact
     # core grid, and anything outside it reads the zero sentinel.
-    flat = vol.vt.reshape(b * vol.ppad * n_units, t * t)
     iu = jnp.arange(2, dtype=jnp.int32)
     pix = (
         jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1) * w
         + jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
     )
     bi = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0)
-    ru = r0[None, None] + iu[None, :, None, None, None] - 1  # [1, 2, B, H, W]
-    gu = g0[None, None] + iu[:, None, None, None, None] - 1  # [2, 1, B, H, W]
-    in_core = (ru >= 0) & (ru < nrc) & (gu >= 0) & (gu < ngc)
-    unit = jnp.where(in_core, ru * ngc + gu, sentinel)  # [2, 2, B, H, W]
-    if vol.umajor:
-        # [B, nUnits, Ppad, T*T] flattened: row = (b*nUnits + u)*Ppad + p
+    if vol.paired:
+        # y-paired volume: one gather per x-column fetches the whole
+        # [top|bottom] 512 B pair row. Pair q = a*ngc + gg covers compact
+        # tile rows (a-1, a); the window's top tile is compact r0-1, so
+        # a = r0 (the PADDED tile-row start) directly.
+        flat = vol.vt.reshape(b * vol.ppad * n_units, 2 * t * t)
+        sentinel_p = (nrc + 1) * ngc
+        gu = g0[None] + iu[:, None, None, None] - 1  # [2, B, H, W]
+        a = r0[None]
+        in_core = (a <= nrc) & (gu >= 0) & (gu < ngc)
+        unit = jnp.where(in_core, a * ngc + gu, sentinel_p)  # [2, B, H, W]
         base = bi * (n_units * vol.ppad) + pix
-        idx = base[None, None] + unit * vol.ppad
+        idx = base[None] + unit * vol.ppad
+        g = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
+            2, b * h * w, 2 * t * t)
     else:
-        base = bi * (vol.ppad * n_units) + pix * n_units
-        idx = base[None, None] + unit  # [2 (x-unit), 2 (y-unit), B, H, W]
-    # mode="clip": idx is in-bounds by construction (sentinel remap above),
-    # and the default fill mode materializes a select_n over the full
-    # [4*H*W, T*T] gather output — 0.54 ms/fwd of pure waste at the
-    # flagship shape (round-5h profile, broadcast_select_fusion.16)
-    g = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
-        4, b * h * w, t * t)
+        flat = vol.vt.reshape(b * vol.ppad * n_units, t * t)
+        ru = r0[None, None] + iu[None, :, None, None, None] - 1  # [1, 2, B, H, W]
+        gu = g0[None, None] + iu[:, None, None, None, None] - 1  # [2, 1, B, H, W]
+        in_core = (ru >= 0) & (ru < nrc) & (gu >= 0) & (gu < ngc)
+        unit = jnp.where(in_core, ru * ngc + gu, sentinel)  # [2, 2, B, H, W]
+        if vol.umajor:
+            # [B, nUnits, Ppad, T*T] flattened: row = (b*nUnits + u)*Ppad + p
+            base = bi * (n_units * vol.ppad) + pix
+            idx = base[None, None] + unit * vol.ppad
+        else:
+            base = bi * (vol.ppad * n_units) + pix * n_units
+            idx = base[None, None] + unit  # [2 (x-unit), 2 (y-unit), B, H, W]
+        # mode="clip": idx is in-bounds by construction (sentinel remap
+        # above), and the default fill mode materializes a select_n over the
+        # full [4*H*W, T*T] gather output — 0.54 ms/fwd of pure waste at the
+        # flagship shape (round-5h profile, broadcast_select_fusion.16)
+        g = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
+            4, b * h * w, t * t)
 
     ctype = flow.dtype if flow.dtype != jnp.float64 else jnp.float32
     lanes = [
@@ -516,17 +574,18 @@ def local_correlation_with_flow_from_tiled_volume(
         (fy - by).reshape(-1),
     ]
     if vol.dequant is not None:
-        # per-pixel dequant factors for the 4 gathered units: a one-hot
+        # per-pixel dequant factors for the gathered units: a one-hot
         # einsum over the tiny [B, nUnits] table (fused iota-compare-reduce
         # pass; per-element jnp.take here would be a catastrophic scalar
         # gather — the round-2 lesson)
-        uid = unit.reshape(4, b, h * w)  # same order as g's leading axis
+        ng = g.shape[0]  # 4 plain units, or 2 y-pairs
+        uid = unit.reshape(ng, b, h * w)  # same order as g's leading axis
         onehot = uid[..., None] == jnp.arange(n_units, dtype=jnp.int32)
         dq = jnp.einsum(
             "ubpn,bn->ubp", onehot.astype(jnp.float32), vol.dequant
-        ).reshape(4, -1)
-        lanes += [dq[0], dq[1], dq[2], dq[3]]
-    sc = jnp.stack(lanes, axis=-1)  # [B*H*W, 4 or 8]
+        ).reshape(ng, -1)
+        lanes += [dq[u] for u in range(ng)]
+    sc = jnp.stack(lanes, axis=-1)  # [B*H*W, 4 (bf16) / 6 (paired) / 8 (int8)]
 
     from unimatch_tpu.kernels.corr_volume import lookup_select_blend
 
